@@ -1,0 +1,223 @@
+"""Primitive intersection tests + hit assembly.
+
+Functional replacement for the reference's Shape::Intersect virtuals
+(src/shapes/triangle.cpp, src/shapes/sphere.cpp) and
+Scene::Intersect/IntersectP (src/core/scene.cpp).  All tests are
+vectorized: a [R]-lane ray batch is tested against primitive sets with
+broadcasting; the BVH (accel/) narrows the candidate set for large
+scenes, while small scenes use the dense all-pairs path, which maps
+perfectly onto the VPU.
+
+Triangles use Moller-Trumbore on precomputed (p0, e1, e2); the
+reference's watertight transform-to-ray-space test (triangle.cpp:160+)
+guards against edge leaks that matter at f64 CPU precision; at f32 on
+TPU both tests have comparable robustness and MT is 2x cheaper.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as cm
+from ..scene.build import SceneTables
+
+Array = jax.Array
+
+PRIM_NONE = 0
+PRIM_TRI = 1
+PRIM_SPH = 2
+
+
+class Hit(NamedTuple):
+    """SoA hit record for a ray batch."""
+    t: Any  # [R] hit distance (INF if miss)
+    prim_kind: Any  # [R] PRIM_*
+    prim_idx: Any  # [R]
+    p: Any  # [R,3] hit point
+    ng: Any  # [R,3] geometric normal (faceforward'd to wo later)
+    ns: Any  # [R,3] shading normal
+    uv: Any  # [R,2]
+    mat_id: Any  # [R]
+    light_id: Any  # [R] area-light id or -1
+
+    @property
+    def found(self):
+        return self.prim_kind != PRIM_NONE
+
+
+def ray_triangles(o: Array, d: Array, p0: Array, e1: Array, e2: Array,
+                  t_max: Array) -> tuple[Array, Array, Array, Array]:
+    """Moller-Trumbore: rays [R,3] x tris [T,3] -> (t, u, v, hit) all [R,T]."""
+    # Broadcast [R,1,3] vs [1,T,3].
+    o = o[:, None, :]
+    d = d[:, None, :]
+    p0, e1, e2 = p0[None], e1[None], e2[None]
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = o - p0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > 1e-4) & (t < t_max[:, None])
+    )
+    return t, u, v, hit
+
+
+def ray_spheres(o: Array, d: Array, center: Array, radius: Array,
+                t_max: Array) -> tuple[Array, Array]:
+    """Quadratic sphere test: rays [R,3] x spheres [S] -> (t, hit) [R,S]."""
+    oc = o[:, None, :] - center[None]
+    b = jnp.sum(oc * d[:, None, :], axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - radius[None] ** 2
+    disc = b * b - c
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    eps = 1e-3
+    t = jnp.where(t0 > eps, t0, t1)
+    hit = ok & (t > eps) & (t < t_max[:, None])
+    return t, hit
+
+
+def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx) -> Hit:
+    """Gather hit attributes for the closest primitives."""
+    R = o.shape[0]
+    tri_idx = jnp.where(kind == PRIM_TRI, idx, 0)
+    sph_idx = jnp.where(kind == PRIM_SPH, idx, 0)
+
+    p = o + t_best[:, None] * d
+
+    has_tris = scene.tri_p0.shape[0] > 0
+    has_sph = scene.sph_center.shape[0] > 0
+
+    if has_tris:
+        p0 = scene.tri_p0[tri_idx]
+        e1 = scene.tri_e1[tri_idx]
+        e2 = scene.tri_e2[tri_idx]
+        ng_t = cm.normalize(jnp.cross(e1, e2))
+        # Recompute barycentrics at the hit for uv/shading normals.
+        pvec = jnp.cross(d, e2)
+        det = jnp.sum(e1 * pvec, axis=-1)
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvec = o - p0
+        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        v = jnp.sum(d * jnp.cross(tvec, e1), axis=-1) * inv_det
+        w = 1.0 - u - v
+        hasn = scene.tri_has_normals[tri_idx]
+        ns_t = cm.normalize(
+            w[:, None] * scene.tri_n0[tri_idx]
+            + u[:, None] * scene.tri_n1[tri_idx]
+            + v[:, None] * scene.tri_n2[tri_idx]
+        )
+        # pbrt orients the geometric normal toward the shading normal
+        # when shading normals exist (triangle.cpp:372).
+        ng_t = jnp.where(
+            (hasn & (cm.dot(ng_t, ns_t) < 0.0))[:, None], -ng_t, ng_t
+        )
+        ns_t = jnp.where(hasn[:, None], ns_t, ng_t)
+        uv_t = (
+            w[:, None] * scene.tri_uv0[tri_idx]
+            + u[:, None] * scene.tri_uv1[tri_idx]
+            + v[:, None] * scene.tri_uv2[tri_idx]
+        )
+        mat_t = scene.tri_mat[tri_idx]
+        light_t = scene.tri_light[tri_idx]
+    if has_sph:
+        cen = scene.sph_center[sph_idx]
+        ng_s = cm.normalize(p - cen)
+        ns_s = ng_s
+        phi = jnp.arctan2(ng_s[..., 1], ng_s[..., 0])
+        theta = jnp.arccos(jnp.clip(ng_s[..., 2], -1.0, 1.0))
+        uv_s = jnp.stack(
+            [phi / (2 * jnp.pi) + 0.5, theta / jnp.pi], axis=-1
+        )
+        mat_s = scene.sph_mat[sph_idx]
+        light_s = scene.sph_light[sph_idx]
+
+    if has_tris and has_sph:
+        is_t = (kind == PRIM_TRI)[:, None]
+        ng = jnp.where(is_t, ng_t, ng_s)
+        ns = jnp.where(is_t, ns_t, ns_s)
+        uv = jnp.where(is_t, uv_t, uv_s)
+        mat = jnp.where(kind == PRIM_TRI, mat_t, mat_s)
+        light = jnp.where(kind == PRIM_TRI, light_t, light_s)
+    elif has_tris:
+        ng, ns, uv, mat, light = ng_t, ns_t, uv_t, mat_t, light_t
+    elif has_sph:
+        ng, ns, uv, mat, light = ng_s, ns_s, uv_s, mat_s, light_s
+    else:
+        ng = ns = jnp.zeros((R, 3))
+        uv = jnp.zeros((R, 2))
+        mat = jnp.zeros((R,), jnp.int32)
+        light = -jnp.ones((R,), jnp.int32)
+
+    miss = kind == PRIM_NONE
+    return Hit(
+        t=t_best,
+        prim_kind=kind,
+        prim_idx=idx,
+        p=p,
+        ng=jnp.where(miss[:, None], 0.0, ng),
+        ns=jnp.where(miss[:, None], 0.0, ns),
+        uv=uv,
+        mat_id=jnp.where(miss, 0, mat),
+        light_id=jnp.where(miss, -1, light),
+    )
+
+
+def intersect_dense(scene: SceneTables, o: Array, d: Array,
+                    t_max: Array | None = None) -> Hit:
+    """Closest-hit against every primitive (small scenes / ground truth)."""
+    R = o.shape[0]
+    if t_max is None:
+        t_max = jnp.full((R,), cm.INF)
+    t_best = t_max
+    kind = jnp.zeros((R,), jnp.int32)
+    idx = jnp.zeros((R,), jnp.int32)
+
+    if scene.tri_p0.shape[0] > 0:
+        t, _, _, hit = ray_triangles(
+            o, d, scene.tri_p0, scene.tri_e1, scene.tri_e2, t_best
+        )
+        t = jnp.where(hit, t, cm.INF)
+        j = jnp.argmin(t, axis=-1)
+        tj = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
+        better = tj < t_best
+        t_best = jnp.where(better, tj, t_best)
+        kind = jnp.where(better, PRIM_TRI, kind)
+        idx = jnp.where(better, j.astype(jnp.int32), idx)
+
+    if scene.sph_center.shape[0] > 0:
+        t, hit = ray_spheres(o, d, scene.sph_center, scene.sph_radius, t_best)
+        t = jnp.where(hit, t, cm.INF)
+        j = jnp.argmin(t, axis=-1)
+        tj = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
+        better = tj < t_best
+        t_best = jnp.where(better, tj, t_best)
+        kind = jnp.where(better, PRIM_SPH, kind)
+        idx = jnp.where(better, j.astype(jnp.int32), idx)
+
+    return _assemble_hit(scene, o, d, t_best, kind, idx)
+
+
+def occluded_dense(scene: SceneTables, o: Array, d: Array, t_max: Array
+                   ) -> Array:
+    """Any-hit (shadow) test; [R] bool.  t_max excludes the light itself."""
+    blocked = jnp.zeros(o.shape[:1], bool)
+    if scene.tri_p0.shape[0] > 0:
+        _, _, _, hit = ray_triangles(
+            o, d, scene.tri_p0, scene.tri_e1, scene.tri_e2, t_max
+        )
+        blocked |= jnp.any(hit, axis=-1)
+    if scene.sph_center.shape[0] > 0:
+        _, hit = ray_spheres(o, d, scene.sph_center, scene.sph_radius, t_max)
+        blocked |= jnp.any(hit, axis=-1)
+    return blocked

@@ -1,0 +1,527 @@
+"""SceneDescription -> SoA device tables.
+
+The reference instantiates an OO plugin graph (Shape/Primitive/Material
+virtual classes, src/core/api.cpp:MakeScene).  A TPU wavefront tracer
+instead wants flat, statically-shaped structure-of-arrays tables that
+every ray lane indexes by integer id:
+
+* triangles:  positions as (p0, e1, e2), optional shading normals/uvs
+* spheres:    center/radius (analytic quadric, like shapes/sphere.cpp)
+* materials:  one row per material with a type enum + parameter slots
+* lights:     area lights reference primitive ranges + an area CDF;
+              point/distant/infinite lights are separate rows
+
+Everything is float32; the arrays are replicated across devices (the
+reference's "scene shared by all threads" becomes "scene replicated on
+the mesh").
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, NamedTuple
+
+import numpy as np
+
+from ..core import math as cm
+from .api import MaterialDesc, SceneDescription, ShapeDesc
+from .params import ParamSet
+from .ply import read_ply
+
+# Material type enum (scene tables + BSDF dispatch).
+MAT_NONE = 0
+MAT_MATTE = 1
+MAT_PLASTIC = 2
+MAT_METAL = 3
+MAT_GLASS = 4
+MAT_MIRROR = 5
+MAT_SUBSTRATE = 6
+MAT_UBER = 7
+MAT_TRANSLUCENT = 8
+MAT_DISNEY = 9
+
+_MAT_ENUM = {
+    "none": MAT_NONE,
+    "": MAT_NONE,
+    "matte": MAT_MATTE,
+    "plastic": MAT_PLASTIC,
+    "metal": MAT_METAL,
+    "glass": MAT_GLASS,
+    "mirror": MAT_MIRROR,
+    "substrate": MAT_SUBSTRATE,
+    "uber": MAT_UBER,
+    "translucent": MAT_TRANSLUCENT,
+    "disney": MAT_DISNEY,
+}
+
+# Light kind enum.
+LIGHT_AREA_TRI = 0  # diffuse area light over a triangle range
+LIGHT_AREA_SPH = 1  # diffuse area light on a sphere
+LIGHT_POINT = 2
+LIGHT_DISTANT = 3
+LIGHT_INFINITE = 4
+LIGHT_SPOT = 5
+
+# pbrt's default metal: copper (materials/metal.cpp defaults).
+_COPPER_ETA = np.array([0.2004376970, 0.9240539266, 1.1022119522], np.float32)
+_COPPER_K = np.array([3.9129485033, 2.4528477015, 2.1421879552], np.float32)
+
+
+@dataclass
+class MaterialTable:
+    """SoA material rows; unused slots hold defaults."""
+    mat_type: np.ndarray = None  # [M] int32
+    kd: np.ndarray = None  # [M,3] diffuse
+    ks: np.ndarray = None  # [M,3] glossy
+    kr: np.ndarray = None  # [M,3] mirror reflect
+    kt: np.ndarray = None  # [M,3] transmit
+    eta: np.ndarray = None  # [M,3] conductor eta / dielectric ior in [:,0]
+    k: np.ndarray = None  # [M,3] conductor absorption
+    rough_u: np.ndarray = None  # [M]
+    rough_v: np.ndarray = None  # [M]
+    sigma: np.ndarray = None  # [M] oren-nayar sigma (degrees)
+    kd_tex: np.ndarray = None  # [M] texture id or -1
+    ks_tex: np.ndarray = None
+    names: list = field(default_factory=list)
+
+
+class SceneTables(NamedTuple):
+    """Host-side numpy tables; `to_device` lifts them to jnp."""
+    # Triangles
+    tri_p0: Any
+    tri_e1: Any
+    tri_e2: Any
+    tri_n0: Any
+    tri_n1: Any
+    tri_n2: Any
+    tri_uv0: Any
+    tri_uv1: Any
+    tri_uv2: Any
+    tri_mat: Any
+    tri_light: Any  # area-light id or -1
+    tri_has_normals: Any  # bool per tri
+    # Spheres
+    sph_center: Any
+    sph_radius: Any
+    sph_mat: Any
+    sph_light: Any
+    # Materials
+    mat_type: Any
+    mat_kd: Any
+    mat_ks: Any
+    mat_kr: Any
+    mat_kt: Any
+    mat_eta: Any
+    mat_k: Any
+    mat_rough_u: Any
+    mat_rough_v: Any
+    mat_sigma: Any
+    # Lights
+    light_kind: Any  # [L]
+    light_L: Any  # [L,3] radiance (area/infinite) or intensity (point) or irradiance (distant)
+    light_prim: Any  # [L] sphere id for AREA_SPH; tri-range offset for AREA_TRI
+    light_prim_count: Any  # [L] number of tris (AREA_TRI)
+    light_pos: Any  # [L,3] point/spot position or distant direction
+    light_aux: Any  # [L,3] spot direction / aux
+    light_params: Any  # [L,2] spot cos angles etc.
+    light_area: Any  # [L] total surface area (area lights)
+    light_tri_index: Any  # [LT] flat triangle ids for all AREA_TRI lights
+    light_tri_cdf: Any  # [LT] per-light normalized CDF over triangle area
+    # World bound
+    world_center: Any
+    world_radius: Any
+
+    def to_device(self):
+        import jax.numpy as jnp
+
+        return SceneTables(*[
+            jnp.asarray(x) if isinstance(x, np.ndarray) else x for x in self
+        ])
+
+    @property
+    def num_tris(self):
+        return self.tri_p0.shape[0]
+
+    @property
+    def num_spheres(self):
+        return self.sph_center.shape[0]
+
+    @property
+    def num_lights(self):
+        return self.light_kind.shape[0]
+
+
+def _material_row(md: MaterialDesc | None, textures) -> dict:
+    """Extract one material's parameter slots (constant textures resolved).
+
+    Texture-valued parameters fall back to a mid-gray constant when the
+    image file is unavailable (scene assets are downloaded separately in
+    the reference too: scripts/_download-scenes.sh).
+    """
+    row = dict(
+        mat_type=MAT_MATTE,
+        kd=np.array([0.5, 0.5, 0.5], np.float32),
+        ks=np.array([0.0, 0.0, 0.0], np.float32),
+        kr=np.array([0.0, 0.0, 0.0], np.float32),
+        kt=np.array([0.0, 0.0, 0.0], np.float32),
+        eta=np.array([1.5, 1.5, 1.5], np.float32),
+        k=np.zeros(3, np.float32),
+        rough_u=0.0,
+        rough_v=0.0,
+        sigma=0.0,
+    )
+    if md is None:
+        row["mat_type"] = MAT_NONE
+        return row
+    mtype = _MAT_ENUM.get(md.mat_type, MAT_MATTE)
+    row["mat_type"] = mtype
+    p = md.params
+
+    def spectrum(name, default):
+        v = p.find_spectrum(name)
+        if v is not None:
+            return np.asarray(v, np.float32)
+        if p.type_of(name) == "texture":
+            tex = textures.get(p.find_one(name))
+            if tex is not None and tex.tex_class == "constant":
+                tv = tex.params.find_spectrum("value")
+                if tv is not None:
+                    return np.asarray(tv, np.float32)
+            return np.array([0.5, 0.5, 0.5], np.float32)
+        return np.asarray(default, np.float32)
+
+    def scalar(name, default):
+        v = p.find_one(name)
+        if isinstance(v, (int, float)):
+            return float(v)
+        return float(default)
+
+    if mtype == MAT_MATTE:
+        row["kd"] = spectrum("Kd", [0.5, 0.5, 0.5])
+        row["sigma"] = scalar("sigma", 0.0)
+    elif mtype == MAT_PLASTIC:
+        row["kd"] = spectrum("Kd", [0.25, 0.25, 0.25])
+        row["ks"] = spectrum("Ks", [0.25, 0.25, 0.25])
+        rough = scalar("roughness", 0.1)
+        row["rough_u"] = row["rough_v"] = rough
+        if p.find_one("remaproughness", True):
+            row["rough_u"] = row["rough_v"] = _remap_roughness(rough)
+    elif mtype == MAT_METAL:
+        row["eta"] = spectrum("eta", _COPPER_ETA)
+        row["k"] = spectrum("k", _COPPER_K)
+        rough = scalar("roughness", 0.01)
+        ru = scalar("uroughness", rough)
+        rv = scalar("vroughness", rough)
+        if p.find_one("remaproughness", True):
+            ru, rv = _remap_roughness(ru), _remap_roughness(rv)
+        row["rough_u"], row["rough_v"] = ru, rv
+    elif mtype == MAT_GLASS:
+        row["kr"] = spectrum("Kr", [1.0, 1.0, 1.0])
+        row["kt"] = spectrum("Kt", [1.0, 1.0, 1.0])
+        ior = scalar("index", scalar("eta", 1.5))
+        row["eta"] = np.full(3, ior, np.float32)
+        ru = scalar("uroughness", scalar("roughness", 0.0))
+        rv = scalar("vroughness", scalar("roughness", 0.0))
+        if p.find_one("remaproughness", True) and (ru > 0 or rv > 0):
+            ru, rv = _remap_roughness(ru), _remap_roughness(rv)
+        row["rough_u"], row["rough_v"] = ru, rv
+    elif mtype == MAT_MIRROR:
+        row["kr"] = spectrum("Kr", [0.9, 0.9, 0.9])
+    elif mtype == MAT_SUBSTRATE:
+        row["kd"] = spectrum("Kd", [0.5, 0.5, 0.5])
+        row["ks"] = spectrum("Ks", [0.5, 0.5, 0.5])
+        ru = scalar("uroughness", 0.1)
+        rv = scalar("vroughness", 0.1)
+        if p.find_one("remaproughness", True):
+            ru, rv = _remap_roughness(ru), _remap_roughness(rv)
+        row["rough_u"], row["rough_v"] = ru, rv
+    elif mtype in (MAT_UBER, MAT_TRANSLUCENT, MAT_DISNEY):
+        row["kd"] = spectrum("Kd", [0.25, 0.25, 0.25])
+        row["ks"] = spectrum("Ks", [0.25, 0.25, 0.25])
+        row["kr"] = spectrum("Kr", [0.0, 0.0, 0.0])
+        row["kt"] = spectrum("Kt", [0.0, 0.0, 0.0])
+        rough = scalar("roughness", 0.1)
+        row["rough_u"] = row["rough_v"] = (
+            _remap_roughness(rough) if p.find_one("remaproughness", True) else rough
+        )
+        if mtype == MAT_DISNEY:
+            row["kd"] = spectrum("color", [0.5, 0.5, 0.5])
+    return row
+
+
+def _remap_roughness(rough: float) -> float:
+    """pbrt TrowbridgeReitzDistribution::RoughnessToAlpha
+    (core/microfacet.h)."""
+    rough = max(rough, 1e-3)
+    x = np.log(rough)
+    return float(
+        1.62142 + 0.819955 * x + 0.1734 * x * x
+        + 0.0171201 * x**3 + 0.000640711 * x**4
+    )
+
+
+def build_scene(desc: SceneDescription) -> SceneTables:
+    tri_p, tri_n, tri_uv, tri_mat, tri_light, tri_hasn = [], [], [], [], [], []
+    sph_c, sph_r, sph_mat, sph_light = [], [], [], []
+    mat_rows: list[dict] = []
+    mat_cache: dict[int, int] = {}
+    lights: list[dict] = []
+
+    def material_id(md: MaterialDesc | None) -> int:
+        key = id(md)
+        if key in mat_cache:
+            return mat_cache[key]
+        row = _material_row(md, desc.textures)
+        mat_rows.append(row)
+        mat_cache[key] = len(mat_rows) - 1
+        return mat_cache[key]
+
+    def add_area_light(params: ParamSet) -> int:
+        L = params.find_spectrum("L", np.ones(3, np.float32))
+        scale = params.find_one("scale", 1.0)
+        if not isinstance(scale, (int, float)):
+            scale = 1.0
+        lights.append(
+            dict(kind=-1, L=np.asarray(L, np.float32) * float(scale),
+                 prim=0, count=0, pos=np.zeros(3, np.float32),
+                 aux=np.zeros(3, np.float32), par=np.zeros(2, np.float32),
+                 area=0.0, tris=[])
+        )
+        return len(lights) - 1
+
+    for sd in desc.shapes:
+        mid = material_id(sd.material)
+        lid = add_area_light(sd.area_light) if sd.area_light is not None else -1
+        if sd.shape_type in ("trianglemesh", "plymesh"):
+            mesh = _load_mesh(sd)
+            if mesh is None:
+                continue
+            P, N, UV, idx = mesh
+            o2w = sd.object_to_world
+            Pw = cm.np_transform_point(o2w, P)
+            has_n = N is not None
+            if has_n:
+                inv = np.linalg.inv(o2w.astype(np.float64)).astype(np.float32)
+                Nw = cm.np_transform_normal(inv, N)
+                norms = np.linalg.norm(Nw, axis=-1, keepdims=True)
+                Nw = Nw / np.maximum(norms, 1e-12)
+            start = len(tri_p)
+            for f in idx:
+                p0, p1, p2 = Pw[f[0]], Pw[f[1]], Pw[f[2]]
+                tri_p.append((p0, p1, p2))
+                if has_n:
+                    tri_n.append((Nw[f[0]], Nw[f[1]], Nw[f[2]]))
+                else:
+                    tri_n.append((np.zeros(3, np.float32),) * 3)
+                if UV is not None:
+                    tri_uv.append((UV[f[0]], UV[f[1]], UV[f[2]]))
+                else:
+                    tri_uv.append(
+                        (np.array([0, 0], np.float32),
+                         np.array([1, 0], np.float32),
+                         np.array([1, 1], np.float32))
+                    )
+                tri_hasn.append(has_n)
+                tri_mat.append(mid)
+                tri_light.append(lid)
+            if lid >= 0:
+                lights[lid]["kind"] = LIGHT_AREA_TRI
+                lights[lid]["tris"] = list(range(start, len(tri_p)))
+        elif sd.shape_type == "sphere":
+            radius = sd.params.find_one("radius", 1.0)
+            o2w = sd.object_to_world
+            center = cm.np_transform_point(o2w, np.zeros(3, np.float32))
+            # Uniform scale folds into radius; general ellipsoids are
+            # out of scope (none of the reference scenes use them).
+            sx = np.linalg.norm(o2w[:3, 0])
+            sph_c.append(center.astype(np.float32))
+            sph_r.append(float(radius) * float(sx))
+            sph_mat.append(mid)
+            sph_light.append(lid)
+            if lid >= 0:
+                lights[lid]["kind"] = LIGHT_AREA_SPH
+                lights[lid]["prim"] = len(sph_c) - 1
+                lights[lid]["area"] = 4.0 * np.pi * sph_r[-1] ** 2
+        else:
+            # disk/curve/cone/...: tessellation TODO (not needed for the
+            # bundled self-contained scenes).
+            continue
+
+    for ld in desc.lights:
+        p = ld.params
+        l2w = ld.light_to_world
+        if ld.light_type == "point":
+            I = p.find_spectrum("I", np.ones(3, np.float32))
+            scale = p.find_spectrum("scale", np.ones(3, np.float32))
+            frm = p.find_one("from")
+            pos = np.asarray(frm, np.float32) if frm is not None else np.zeros(3, np.float32)
+            pos = cm.np_transform_point(l2w, pos)
+            lights.append(dict(kind=LIGHT_POINT, L=I * scale, prim=0, count=0,
+                               pos=pos, aux=np.zeros(3, np.float32),
+                               par=np.zeros(2, np.float32), area=0.0, tris=[]))
+        elif ld.light_type == "distant":
+            L = p.find_spectrum("L", np.ones(3, np.float32))
+            scale = p.find_spectrum("scale", np.ones(3, np.float32))
+            frm = p.find_one("from")
+            to = p.find_one("to")
+            frm = np.asarray(frm, np.float32) if frm is not None else np.zeros(3, np.float32)
+            to = np.asarray(to, np.float32) if to is not None else np.array([0, 0, 1], np.float32)
+            wlight = cm.np_transform_point(l2w, frm) - cm.np_transform_point(l2w, to)
+            n = np.linalg.norm(wlight)
+            wlight = wlight / max(n, 1e-12)  # direction TOWARD light
+            lights.append(dict(kind=LIGHT_DISTANT, L=L * scale, prim=0, count=0,
+                               pos=wlight.astype(np.float32),
+                               aux=np.zeros(3, np.float32),
+                               par=np.zeros(2, np.float32), area=0.0, tris=[]))
+        elif ld.light_type == "infinite":
+            L = p.find_spectrum("L", np.ones(3, np.float32))
+            scale = p.find_spectrum("scale", np.ones(3, np.float32))
+            # Environment maps need the (undownloaded) asset; constant L.
+            lights.append(dict(kind=LIGHT_INFINITE, L=L * scale, prim=0,
+                               count=0, pos=np.zeros(3, np.float32),
+                               aux=np.zeros(3, np.float32),
+                               par=np.zeros(2, np.float32), area=0.0, tris=[]))
+        elif ld.light_type == "spot":
+            I = p.find_spectrum("I", np.ones(3, np.float32))
+            scale = p.find_spectrum("scale", np.ones(3, np.float32))
+            frm = p.find_one("from")
+            to = p.find_one("to")
+            frm = np.asarray(frm, np.float32) if frm is not None else np.zeros(3, np.float32)
+            to = np.asarray(to, np.float32) if to is not None else np.array([0, 0, 1], np.float32)
+            pos = cm.np_transform_point(l2w, frm)
+            dirn = cm.np_transform_point(l2w, to) - pos
+            dirn = dirn / max(np.linalg.norm(dirn), 1e-12)
+            cone = float(p.find_one("coneangle", 30.0))
+            delta = float(p.find_one("conedeltaangle", 5.0))
+            lights.append(dict(
+                kind=LIGHT_SPOT, L=I * scale, prim=0, count=0, pos=pos,
+                aux=dirn.astype(np.float32),
+                par=np.array([np.cos(np.radians(cone)),
+                              np.cos(np.radians(cone - delta))], np.float32),
+                area=0.0, tris=[]))
+
+    # Drop area-light records whose shapes were skipped.
+    keep = [i for i, l in enumerate(lights) if l["kind"] >= 0]
+    remap = {old: new for new, old in enumerate(keep)}
+    lights = [lights[i] for i in keep]
+    tri_light = [remap.get(l, -1) for l in tri_light]
+    sph_light = [remap.get(l, -1) for l in sph_light]
+
+    # Assemble triangle arrays.
+    T = len(tri_p)
+    if T:
+        p0 = np.stack([t[0] for t in tri_p]).astype(np.float32)
+        p1 = np.stack([t[1] for t in tri_p]).astype(np.float32)
+        p2 = np.stack([t[2] for t in tri_p]).astype(np.float32)
+        n0 = np.stack([t[0] for t in tri_n]).astype(np.float32)
+        n1 = np.stack([t[1] for t in tri_n]).astype(np.float32)
+        n2 = np.stack([t[2] for t in tri_n]).astype(np.float32)
+        uv0 = np.stack([t[0] for t in tri_uv]).astype(np.float32)
+        uv1 = np.stack([t[1] for t in tri_uv]).astype(np.float32)
+        uv2 = np.stack([t[2] for t in tri_uv]).astype(np.float32)
+    else:
+        p0 = p1 = p2 = n0 = n1 = n2 = np.zeros((0, 3), np.float32)
+        uv0 = uv1 = uv2 = np.zeros((0, 2), np.float32)
+
+    # Per-AREA_TRI-light CDFs over triangle area.
+    lt_index, lt_cdf = [], []
+    for li, l in enumerate(lights):
+        if l["kind"] == LIGHT_AREA_TRI:
+            tris = l["tris"]
+            areas = np.array(
+                [0.5 * np.linalg.norm(np.cross(p1[t] - p0[t], p2[t] - p0[t]))
+                 for t in tris], np.float64,
+            )
+            total = float(areas.sum())
+            l["area"] = total
+            l["prim"] = len(lt_index)
+            l["count"] = len(tris)
+            cdf = np.cumsum(areas) / max(total, 1e-30)
+            lt_index.extend(tris)
+            lt_cdf.extend(cdf.tolist())
+
+    if not mat_rows:
+        mat_rows.append(_material_row(None, desc.textures))
+
+    # World bound.
+    pts = [p0.reshape(-1, 3)] if T else []
+    if sph_c:
+        c = np.stack(sph_c)
+        r = np.array(sph_r)[:, None]
+        pts += [c - r, c + r]
+    if T:
+        pts += [p1, p2]
+    allp = np.concatenate(pts, axis=0) if pts else np.zeros((1, 3), np.float32)
+    lo, hi = allp.min(axis=0), allp.max(axis=0)
+    wcenter = (lo + hi) / 2
+    wradius = float(np.linalg.norm(hi - wcenter)) + 1e-3
+
+    return SceneTables(
+        tri_p0=p0, tri_e1=p1 - p0, tri_e2=p2 - p0,
+        tri_n0=n0, tri_n1=n1, tri_n2=n2,
+        tri_uv0=uv0, tri_uv1=uv1, tri_uv2=uv2,
+        tri_mat=np.asarray(tri_mat, np.int32),
+        tri_light=np.asarray(tri_light, np.int32),
+        tri_has_normals=np.asarray(tri_hasn, bool),
+        sph_center=(np.stack(sph_c).astype(np.float32) if sph_c
+                    else np.zeros((0, 3), np.float32)),
+        sph_radius=np.asarray(sph_r, np.float32),
+        sph_mat=np.asarray(sph_mat, np.int32),
+        sph_light=np.asarray(sph_light, np.int32),
+        mat_type=np.asarray([r["mat_type"] for r in mat_rows], np.int32),
+        mat_kd=np.stack([r["kd"] for r in mat_rows]).astype(np.float32),
+        mat_ks=np.stack([r["ks"] for r in mat_rows]).astype(np.float32),
+        mat_kr=np.stack([r["kr"] for r in mat_rows]).astype(np.float32),
+        mat_kt=np.stack([r["kt"] for r in mat_rows]).astype(np.float32),
+        mat_eta=np.stack([r["eta"] for r in mat_rows]).astype(np.float32),
+        mat_k=np.stack([r["k"] for r in mat_rows]).astype(np.float32),
+        mat_rough_u=np.asarray([r["rough_u"] for r in mat_rows], np.float32),
+        mat_rough_v=np.asarray([r["rough_v"] for r in mat_rows], np.float32),
+        mat_sigma=np.asarray([r["sigma"] for r in mat_rows], np.float32),
+        light_kind=(np.asarray([l["kind"] for l in lights], np.int32)
+                    if lights else np.zeros((0,), np.int32)),
+        light_L=(np.stack([l["L"] for l in lights]).astype(np.float32)
+                 if lights else np.zeros((0, 3), np.float32)),
+        light_prim=np.asarray([l["prim"] for l in lights], np.int32)
+        if lights else np.zeros((0,), np.int32),
+        light_prim_count=np.asarray([l["count"] for l in lights], np.int32)
+        if lights else np.zeros((0,), np.int32),
+        light_pos=(np.stack([l["pos"] for l in lights]).astype(np.float32)
+                   if lights else np.zeros((0, 3), np.float32)),
+        light_aux=(np.stack([l["aux"] for l in lights]).astype(np.float32)
+                   if lights else np.zeros((0, 3), np.float32)),
+        light_params=(np.stack([l["par"] for l in lights]).astype(np.float32)
+                      if lights else np.zeros((0, 2), np.float32)),
+        light_area=np.asarray([l["area"] for l in lights], np.float32)
+        if lights else np.zeros((0,), np.float32),
+        light_tri_index=np.asarray(lt_index, np.int32),
+        light_tri_cdf=np.asarray(lt_cdf, np.float32),
+        world_center=wcenter.astype(np.float32),
+        world_radius=np.float32(wradius),
+    )
+
+
+def _load_mesh(sd: ShapeDesc):
+    """Returns (P [V,3], N [V,3] | None, UV [V,2] | None, idx [F,3])."""
+    if sd.shape_type == "trianglemesh":
+        P = sd.params.find_floats("P")
+        if P is None:
+            return None
+        P = P.reshape(-1, 3)
+        idx = sd.params.find_ints("indices").reshape(-1, 3)
+        N = sd.params.find_floats("N")
+        N = N.reshape(-1, 3) if N is not None else None
+        UV = sd.params.find_floats("uv")
+        if UV is None:
+            UV = sd.params.find_floats("st")
+        UV = UV.reshape(-1, 2) if UV is not None else None
+        return P, N, UV, idx
+    if sd.shape_type == "plymesh":
+        fn = sd.params.find_one("filename")
+        if fn is None:
+            return None
+        path = fn if os.path.isabs(fn) else os.path.join(sd.cwd, fn)
+        if not os.path.exists(path):
+            return None
+        return read_ply(path)
+    return None
