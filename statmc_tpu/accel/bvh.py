@@ -141,6 +141,11 @@ def _flatten(root: _Node) -> FlatBVH:
     nodes_lo, nodes_hi, miss, leaf_off = [], [], [], []
     prim_slots: list[int] = []
 
+    def size(node: _Node) -> int:
+        if node.prims is not None:
+            return 1
+        return 1 + size(node.left) + size(node.right)
+
     def emit(node: _Node, miss_idx: int) -> int:
         idx = len(nodes_lo)
         nodes_lo.append(node.lo)
@@ -153,11 +158,13 @@ def _flatten(root: _Node) -> FlatBVH:
             prim_slots.extend(slots[:LEAF_SIZE])
         else:
             leaf_off.append(-1)
-            # left child follows at idx+1; its miss target is the right
-            # child; the right child's miss target is this node's miss.
-            left_pos = emit(node.left, -2)  # placeholder
-            right_pos = emit(node.right, miss_idx)
-            miss[left_pos] = right_pos
+            # DFS layout: left subtree at idx+1, right subtree right after
+            # it.  The left subtree's miss link (at every level that would
+            # fall off its right edge) is the right subtree's root; the
+            # right subtree falls through to this node's miss.
+            right_pos = idx + 1 + size(node.left)
+            emit(node.left, right_pos)
+            emit(node.right, miss_idx)
         return idx
 
     import sys

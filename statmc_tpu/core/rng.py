@@ -27,7 +27,8 @@ SLOT_LIGHT_SAMPLE = 2  # 2D light surface sample
 SLOT_BSDF_NEE = 3  # 2D BSDF sample inside NEE-MIS
 SLOT_BSDF = 4  # 2D BSDF sample for path continuation
 SLOT_RR = 5  # 1D Russian roulette
-SLOT_BSDF_COMPONENT = 6  # 1D BxDF component selection
+SLOT_BSDF_COMPONENT = 6  # 1D BxDF component selection (NEE half)
+SLOT_BSDF_COMPONENT_PC = 7  # 1D BxDF component selection (continuation)
 
 
 def base_key(base_seed: int) -> Array:

@@ -1,0 +1,325 @@
+"""Iterative render -> denoise driver.
+
+The reference's render loop (src/statistics/statpath.cpp:172-440):
+per iteration, render a growing sample batch, merge statistics, denoise
+all registered buffers on the accelerator, write/display regex-selected
+buffers, and feed the denoised per-bounce means + MIS win rates back
+into the next iteration's ACRR/SMIS decisions.
+
+Here the loop body is one jitted XLA program per iteration size: camera
+ray generation, the bounce scan, film + moment accumulation for a chunk
+of samples, then the Pallas/JAX denoiser.  There is no upload/download
+phase -- film and moments live in device HBM throughout
+(SURVEY.md §2.4 "TPU equivalent").
+"""
+from __future__ import annotations
+
+import os
+import re
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import rng as crng
+from .core import spectrum as spec
+from .render import camera as CAM
+from .render.integrator import IntegratorConfig, trace
+from .render.lightdistrib import make_distribution
+from .scene.api import SceneDescription, parse_scene
+from .scene.build import SceneTables, build_scene
+from .stats import estimator as E
+from .stats import moments
+from .io.pfm import write_pfm
+
+
+@dataclass
+class RenderSetup:
+    scene: SceneTables
+    bvh: Any
+    dist: Any
+    cam: CAM.CameraParams
+    icfg: IntegratorConfig
+    ecfg: E.EstimatorConfig
+    width: int
+    height: int
+    filename: str
+    base_seed: int = 0
+    use_bvh: bool = True
+
+
+def prepare(desc: SceneDescription, base_seed: int = 0,
+            force_dense: bool = False) -> RenderSetup:
+    scene_np = build_scene(desc)
+    width = int(desc.film_params.find_one("xresolution", 640))
+    height = int(desc.film_params.find_one("yresolution", 480))
+    filename = str(desc.film_params.find_one("filename", "out.pfm"))
+
+    pixel_samples = int(desc.sampler_params.find_one("pixelsamples", 16))
+    ecfg = E.derive_config(
+        desc.integrator_params, desc.extra_params, pixel_samples
+    )
+
+    rad = ecfg.configs[E.RADIANCE]
+    icfg = IntegratorConfig(
+        max_depth=ecfg.max_depth,
+        n_ls=max(rad.bounce_end, 1),
+        nb_mis=ecfg.configs[E.MIS_BSDF_WIN_RATE].bounce_end
+        if ecfg.enable_smis else 0,
+        enable_smis=ecfg.enable_smis,
+        enable_acrr=ecfg.enable_acrr,
+        rr_threshold=ecfg.rr_threshold,
+    )
+
+    fov = float(desc.camera_params.find_one("fov", 90.0))
+    cam = CAM.make_perspective(desc.camera_to_world, fov, width, height)
+
+    use_bvh = (not force_dense) and scene_np.tri_p0.shape[0] > 64
+    bvh = None
+    if use_bvh:
+        from .accel.bvh import build_bvh
+
+        bvh = build_bvh(
+            scene_np.tri_p0, scene_np.tri_e1, scene_np.tri_e2
+        ).to_device()
+
+    dist = make_distribution(scene_np, ecfg.light_strategy)
+    return RenderSetup(
+        scene=scene_np.to_device(), bvh=bvh, dist=dist, cam=cam,
+        icfg=icfg, ecfg=ecfg, width=width, height=height,
+        filename=filename, base_seed=base_seed, use_bvh=use_bvh,
+    )
+
+
+def make_chunk_fn(setup: RenderSetup):
+    """Build the jitted per-chunk render function."""
+    scene, bvh, dist = setup.scene, setup.bvh, setup.dist
+    icfg, ecfg = setup.icfg, setup.ecfg
+    cam, W, H = setup.cam, setup.width, setup.height
+    P = W * H
+    pixel_ids = jnp.arange(P, dtype=jnp.int32)
+    px = (pixel_ids % W).astype(jnp.float32)
+    py = (pixel_ids // W).astype(jnp.float32)
+
+    def chunk(states, film_sum, film_w, base_key, sample_start,
+              avg_ls, win_b, win_l, feedback_on, n_samples):
+        def body(s, carry):
+            states, film_sum, film_w = carry
+            sample_index = sample_start + s
+            keys = crng.pixel_keys(base_key, pixel_ids, sample_index)
+            u_cam = crng.uniform_2d(keys, 0, crng.SLOT_CAMERA)
+            # Box filter, radius 0.5: each sample lands in its own pixel
+            # with weight 1 (api.cpp:1703-1727 enforces this for statpath;
+            # film accumulation degenerates to per-pixel averaging).
+            p_film = jnp.stack([px, py], axis=-1) + u_cam
+            o, d = CAM.generate_rays(cam, p_film)
+            out = trace(
+                scene, bvh, dist, icfg, o, d, keys,
+                avg_ls, win_b, win_l, feedback_on,
+            )
+            L = out.ls[:, 0, :]
+            film_sum = film_sum + L
+            film_w = film_w + 1.0
+            states = E.update_states(states, ecfg, out)
+            return states, film_sum, film_w
+
+        return jax.lax.fori_loop(
+            0, n_samples, body, (states, film_sum, film_w)
+        )
+
+    return jax.jit(chunk, static_argnames=("n_samples",))
+
+
+class Renderer:
+    """Owns device state across the iteration loop; the Python analogue of
+    StatPathIntegrator::Render (statpath.cpp:118-440)."""
+
+    def __init__(self, setup: RenderSetup, denoiser=None):
+        self.s = setup
+        self.chunk_fn = make_chunk_fn(setup)
+        self.denoiser = denoiser
+        P = setup.width * setup.height
+        self.P = P
+        self.reset()
+
+    def reset(self):
+        s = self.s
+        P = self.P
+        self.states = E.make_states(s.ecfg, P)
+        self.film_sum = jnp.zeros((P, 3))
+        self.film_w = jnp.zeros((P,))
+        NL = s.icfg.n_ls
+        NB = max(s.icfg.nb_mis, 1)
+        self.avg_ls = jnp.ones((P, NL))
+        self.win_b = jnp.zeros((P, NB))
+        self.win_l = jnp.zeros((P, NB))
+        self.derived = {}
+        self.film_f = None
+        self.base_key = crng.base_key(s.base_seed)
+
+    @property
+    def film_mean(self):
+        return self.film_sum / jnp.maximum(self.film_w, 1.0)[..., None]
+
+    def iteration_spp(self, i: int) -> tuple[int, int]:
+        """(sample_start, n_samples) for iteration i (1-based);
+        statpath.cpp:269-290."""
+        spp = self.s.ecfg.pixel_samples
+        if i == 1:
+            return 0, spp
+        if self.s.ecfg.exp_iterations:
+            n = spp << (i - 2)
+            return n, n
+        return (i - 1) * spp, spp
+
+    def total_spp(self, i: int) -> int:
+        spp = self.s.ecfg.pixel_samples
+        return spp << (i - 1) if self.s.ecfg.exp_iterations else i * spp
+
+    def run_iteration(self, i: int):
+        """One render(+denoise) iteration; returns timing dict."""
+        start, n = self.iteration_spp(i)
+        # film->Clear() per iteration (statpath.cpp:216): the film restarts
+        # while moment states continue accumulating.
+        self.film_sum = jnp.zeros_like(self.film_sum)
+        self.film_w = jnp.zeros_like(self.film_w)
+
+        t0 = time.perf_counter()
+        feedback_on = jnp.asarray(i > 1)
+        (self.states, self.film_sum, self.film_w) = self.chunk_fn(
+            self.states, self.film_sum, self.film_w, self.base_key,
+            jnp.asarray(start, jnp.int32),
+            self.avg_ls, self.win_b, self.win_l, feedback_on,
+            n_samples=n,
+        )
+        jax.block_until_ready(self.film_sum)
+        t_render = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        t_denoise = 0.0
+        if self.denoiser is not None:
+            self._denoise()
+            jax.block_until_ready(self.avg_ls)
+            t_denoise = time.perf_counter() - t0
+        return {
+            "iteration": i,
+            "spp": self.total_spp(i),
+            "render_s": t_render,
+            "denoise_s": t_denoise,
+        }
+
+    def _denoise(self):
+        """Run the statistical filter over every DenoiseGroup buffer and
+        refresh the ACRR/SMIS feedback (estimator.cpp:427-489 equivalent)."""
+        s = self.s
+        W, H = s.width, s.height
+        film = self.film_mean.reshape(H, W, 3)
+        derived = {}
+        film_f = None
+        for c in s.ecfg.configs:
+            if not c.enable or E.DENOISE_GROUP not in c.groups:
+                continue
+            st = self.states[c.type]
+            res = self.denoiser(
+                st, c, film if c.type == E.RADIANCE else None, W, H
+            )
+            derived[c.type] = res
+            if c.type == E.RADIANCE and s.ecfg.denoise_image:
+                film_f = res["film_f"]
+        self.derived = derived
+        self.film_f = film_f
+
+        # Feedback: denoised per-bounce mean luminance -> ACRR
+        # (statpath.cpp:306-313); win rates -> SMIS.
+        rad = s.ecfg.configs[E.RADIANCE]
+        if rad.enable and E.RADIANCE in derived:
+            fmf = derived[E.RADIANCE]["film_mean_f"]  # [NB,P,C]
+            if rad.n_channels == 3:
+                lum = spec.luminance(fmf)
+            else:
+                lum = fmf[..., 0]
+            NL = self.avg_ls.shape[1]
+            avg = jnp.swapaxes(lum, 0, 1)  # [P,NB]
+            if avg.shape[1] < NL:
+                avg = jnp.pad(avg, ((0, 0), (0, NL - avg.shape[1])))
+            self.avg_ls = avg[:, :NL]
+        if s.ecfg.enable_smis and E.MIS_BSDF_WIN_RATE in derived:
+            self.win_b = jnp.swapaxes(
+                derived[E.MIS_BSDF_WIN_RATE]["film_mean_f"][..., 0], 0, 1)
+            self.win_l = jnp.swapaxes(
+                derived[E.MIS_LIGHT_WIN_RATE]["film_mean_f"][..., 0], 0, 1)
+
+    # -- output -----------------------------------------------------------
+
+    def buffers(self) -> dict:
+        s = self.s
+        W, H = s.width, s.height
+        named = {"film": np.asarray(self.film_mean).reshape(H, W, 3)}
+        if self.film_f is not None:
+            named["film-f"] = np.asarray(self.film_f).reshape(H, W, 3)
+        derived_named = {}
+        for t, res in self.derived.items():
+            derived_named[t] = {
+                k: v for k, v in {
+                    "mean_corr": res.get("mean_corr"),
+                    "discriminator": res.get("discriminator"),
+                    "film_mean_f": res.get("film_mean_f"),
+                }.items() if v is not None
+            }
+        # mean-variance buffers (ProDen group; estimator.cpp:491-569).
+        for c in s.ecfg.configs:
+            if c.enable and E.MEANVAR_GROUP in c.groups:
+                st = self.states[c.type]
+                var = moments.mean_variance(st, film=True)
+                d = derived_named.setdefault(c.type, {})
+                d["film_mean_var"] = var
+        named.update(
+            E.export_buffers(self.states, s.ecfg, W, H, derived_named)
+        )
+        return named
+
+    def write_outputs(self, out_dir: str, iteration: int) -> list[str]:
+        """Write regex-selected buffers as <stem>-<spp>-<name>.pfm
+        (buffer.cpp:40-53 naming)."""
+        s = self.s
+        os.makedirs(out_dir, exist_ok=True)
+        stem = os.path.splitext(os.path.basename(s.filename))[0]
+        spp = self.total_spp(iteration)
+        rx = re.compile(s.ecfg.output_regex)
+        written = []
+        for name, arr in self.buffers().items():
+            if rx.fullmatch(name):
+                path = os.path.join(out_dir, f"{stem}-{spp}-{name}.pfm")
+                write_pfm(path, arr)
+                written.append(path)
+        return written
+
+    def render(self, iterations: int | None = None, out_dir: str | None = None,
+               verbose: bool = True):
+        n_it = iterations or self.s.ecfg.iterations
+        logs = []
+        for i in range(1, n_it + 1):
+            log = self.run_iteration(i)
+            if out_dir is not None:
+                t0 = time.perf_counter()
+                log["written"] = self.write_outputs(out_dir, i)
+                log["output_s"] = time.perf_counter() - t0
+            logs.append(log)
+            if verbose:
+                print(
+                    f"Iteration: {log['iteration']}\n"
+                    f"SPP: {log['spp']}\n"
+                    f"Rendering time [ns]: {int(log['render_s'] * 1e9)}\n"
+                    f"Denoise time [ns]: {int(log['denoise_s'] * 1e9)}"
+                )
+        return logs
+
+
+def load(scene_path: str, base_seed: int = 0) -> Renderer:
+    desc = parse_scene(scene_path)
+    setup = prepare(desc, base_seed)
+    return Renderer(setup)

@@ -1,0 +1,83 @@
+"""Perspective / orthographic camera ray generation.
+
+Mirrors src/cameras/perspective.cpp + the raster->screen->camera
+transform chain built in src/core/camera.cpp (ProjectiveCamera).  All
+per-ray work is vectorized over the film-sample batch; the transform
+chain is precomputed on host into a single raster->camera matrix.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import math as cm
+
+Array = jax.Array
+
+
+class CameraParams(NamedTuple):
+    raster_to_camera: Array  # [4,4]
+    camera_to_world: Array  # [4,4]
+    dx_camera: Array  # [3] differential basis (for MIPmap rays)
+    dy_camera: Array  # [3]
+    orthographic: bool
+
+
+def make_perspective(camera_to_world: np.ndarray, fov_deg: float,
+                     xres: int, yres: int,
+                     screen_window: np.ndarray | None = None) -> CameraParams:
+    frame = xres / yres
+    if screen_window is None:
+        if frame > 1.0:
+            screen = np.array([-frame, frame, -1.0, 1.0])
+        else:
+            screen = np.array([-1.0, 1.0, -1.0 / frame, 1.0 / frame])
+    else:
+        screen = np.asarray(screen_window, np.float64)
+
+    camera_to_screen = cm.perspective(fov_deg, 1e-2, 1000.0).astype(np.float64)
+    # Screen -> raster (camera.h ProjectiveCamera ctor).
+    screen_to_raster = (
+        cm.scale_mat([xres, yres, 1.0]).astype(np.float64)
+        @ cm.scale_mat(
+            [1.0 / (screen[1] - screen[0]), 1.0 / (screen[2] - screen[3]), 1.0]
+        ).astype(np.float64)
+        @ cm.translate([-screen[0], -screen[3], 0.0]).astype(np.float64)
+    )
+    raster_to_screen = np.linalg.inv(screen_to_raster)
+    raster_to_camera = (
+        np.linalg.inv(camera_to_screen) @ raster_to_screen
+    ).astype(np.float32)
+
+    # Differential basis: camera-space offsets of one-pixel raster steps.
+    p0 = cm.np_transform_point(raster_to_camera, np.zeros(3, np.float32))
+    px = cm.np_transform_point(raster_to_camera, np.array([1, 0, 0], np.float32))
+    py = cm.np_transform_point(raster_to_camera, np.array([0, 1, 0], np.float32))
+
+    return CameraParams(
+        raster_to_camera=jnp.asarray(raster_to_camera),
+        camera_to_world=jnp.asarray(camera_to_world.astype(np.float32)),
+        dx_camera=jnp.asarray((px - p0).astype(np.float32)),
+        dy_camera=jnp.asarray((py - p0).astype(np.float32)),
+        orthographic=False,
+    )
+
+
+def generate_rays(cam: CameraParams, p_film: Array) -> tuple[Array, Array]:
+    """p_film: [R,2] raster coords (continuous). Returns (o, d) world."""
+    p_raster = jnp.concatenate(
+        [p_film, jnp.zeros(p_film.shape[:-1] + (1,))], axis=-1
+    )
+    p_cam = cm.transform_point(cam.raster_to_camera, p_raster)
+    if cam.orthographic:
+        o_cam = p_cam
+        d_cam = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), p_cam.shape)
+    else:
+        o_cam = jnp.zeros_like(p_cam)
+        d_cam = cm.normalize(p_cam)
+    o = cm.transform_point(cam.camera_to_world, o_cam)
+    d = cm.normalize(cm.transform_vector(cam.camera_to_world, d_cam))
+    return o, d

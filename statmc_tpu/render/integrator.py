@@ -1,0 +1,375 @@
+"""Wavefront statistics-tracking path integrator.
+
+TPU-native re-derivation of the reference's StatPathIntegrator::Li
+(/root/reference/src/statistics/statpath.cpp:761-958) including:
+
+* per-bounce radiance estimates Ls[i] with partial throughputs betas[i]
+  (betas[i] accumulates BSDF factors only from bounces >= i,
+  statpath.cpp:873-877) -- the inputs to ACRR;
+* next-event estimation with both MIS halves (core/integrator.cpp:
+  EstimateDirect semantics: light sample + BSDF sample per bounce);
+* selective MIS (SMIS) with win-rate-driven strategy disabling and the
+  goto-light re-run (statpath.cpp:552-730), vectorized as masked lanes;
+* approximate-contribution Russian roulette (ACRR): survival scaled by
+  denoised per-bounce mean ratios (statpath.cpp:930-953);
+* bounce-0 G-buffer feature capture (statpath.cpp:828-835);
+* the NaN/negative/inf radiance scrub (statpath.cpp:333-351).
+
+Control flow differences from the reference are architectural, not
+semantic: the recursive-ish per-sample bounce loop becomes a lax.scan
+over a fixed bounce axis with per-lane active masks; every sample of
+every pixel advances in lockstep as one XLA program.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as cm
+from ..core import rng as crng
+from ..core import spectrum as spec
+from ..scene import build as sb
+from . import bsdf as B
+from . import lights as LT
+from .intersect import intersect_scene, occluded_scene
+from .lightdistrib import LightDistribution, sample_light_id
+
+Array = jax.Array
+
+
+class IntegratorConfig(NamedTuple):
+    """Static (hashable) integrator configuration -- the product of the
+    reference's config compiler (statpath.cpp:1026-1173)."""
+    max_depth: int = 5
+    n_ls: int = 1  # Radiance bounceEnd (>=1); >1 when ACRR tracks bounces
+    nb_mis: int = 0  # MISWinRate bounceEnd; 0 disables SMIS tallies
+    enable_smis: bool = False
+    enable_acrr: bool = False
+    rr_threshold: float = 1.0
+    rr_start_bounce: int = 4  # reference: RR from the 5th bounce (b > 3)
+
+
+class SampleOutput(NamedTuple):
+    ls: Any  # [P, NL, 3] per-bounce radiance estimates (Ls[0] = film L)
+    mis_bsdf: Any  # [P, NB] tallies this sample
+    mis_light: Any  # [P, NB]
+    mat_id: Any  # [P] material id feature (0 = miss)
+    depth: Any  # [P] ray.tMax at first hit
+    normal: Any  # [P,3] shading normal at first hit
+    albedo: Any  # [P,3] approximate albedo at first hit
+
+
+def power_heuristic(nf, f_pdf, ng, g_pdf):
+    f = nf * f_pdf
+    g = ng * g_pdf
+    denom = f * f + g * g
+    return jnp.where(denom > 0, f * f / jnp.maximum(denom, 1e-30), 0.0)
+
+
+def _approx_albedo(m: B.MaterialLanes, cos_o: Array) -> Array:
+    """Directional albedo approximation.
+
+    The reference precomputes per-material-family albedo LUTs
+    (src/statistics/lut.h, src/statistics/luts/) queried at bounce 0
+    (src/core/material.cpp:63-92).  On TPU a closed-form per-family
+    approximation replaces the 8-D gather; the LUT path (with its
+    precompute tool) is layered on top for parity runs.
+    """
+    t = m.mat_type
+    f_diel = B.fresnel_dielectric(jnp.abs(cos_o), 1.0, 1.5)[..., None]
+    f_cond = B.fresnel_conductor(cos_o, m.eta, m.k)
+    f_glass = B.fresnel_dielectric(jnp.abs(cos_o), 1.0, m.eta[..., 0])[..., None]
+    alb = m.kd
+    alb = jnp.where(
+        ((t == sb.MAT_PLASTIC) | (t == sb.MAT_UBER)
+         | (t == sb.MAT_SUBSTRATE))[..., None],
+        m.kd + m.ks * f_diel, alb,
+    )
+    alb = jnp.where((t == sb.MAT_METAL)[..., None], f_cond, alb)
+    alb = jnp.where((t == sb.MAT_MIRROR)[..., None], m.kr, alb)
+    alb = jnp.where(
+        (t == sb.MAT_GLASS)[..., None],
+        m.kr * f_glass + m.kt * (1.0 - f_glass), alb,
+    )
+    return jnp.clip(alb, 0.0, 1.0)
+
+
+def _offset_origin(p, ng, w):
+    """Spawn-ray origin offset along the geometric normal."""
+    n = jnp.where(cm.dot(ng, w)[..., None] < 0, -ng, ng)
+    return p + n * 1e-4 * jnp.maximum(1.0, cm.length(p))[..., None]
+
+
+def trace(
+    scene: sb.SceneTables,
+    bvh,
+    dist: LightDistribution,
+    cfg: IntegratorConfig,
+    o0: Array,
+    d0: Array,
+    keys: Array,  # [P,2] per-(pixel,sample) key data
+    avg_ls: Array,  # [P, NL] denoised per-bounce mean luminance (ACRR)
+    win_bsdf: Array,  # [P, NB] denoised MIS win rates
+    win_light: Array,  # [P, NB]
+    feedback_on: Array,  # scalar bool: iteration > 1 (ACRR/SMIS feedback live)
+) -> SampleOutput:
+    P = o0.shape[0]
+    NL = cfg.n_ls
+    NB = max(cfg.nb_mis, 1)
+
+    ls0 = jnp.zeros((P, NL, 3))
+    betas0 = jnp.ones((P, NL, 3))
+    carry = dict(
+        o=o0, d=d0, ls=ls0, betas=betas0,
+        specular=jnp.zeros((P,), bool),
+        active=jnp.ones((P,), bool),
+        eta_scale=jnp.ones((P,)),
+        mis_bsdf=jnp.zeros((P, NB)),
+        mis_light=jnp.zeros((P, NB)),
+        mat_id=jnp.zeros((P,)),
+        depth=jnp.zeros((P,)),
+        normal=jnp.zeros((P, 3)),
+        albedo=jnp.zeros((P, 3)),
+    )
+
+    bounce_ids = jnp.arange(cfg.max_depth + 1)
+
+    def body(carry, b):
+        o, d = carry["o"], carry["d"]
+        active = carry["active"]
+        betas, ls = carry["betas"], carry["ls"]
+
+        hit = intersect_scene(scene, o, d, bvh=bvh)
+        found = hit.found & active
+
+        # --- emitted light at the vertex (bounce 0 or after specular) ---
+        emit = (b == 0) | carry["specular"]
+        le_hit = LT.area_light_le(scene, hit.light_id, hit.ng, -d)
+        le_esc = LT.escaped_radiance(scene, d)
+        le = jnp.where(found[..., None], le_hit,
+                       jnp.where(active[..., None], le_esc, 0.0))
+        ls = ls + jnp.where(
+            (emit & active)[..., None, None], betas * le[:, None, :], 0.0
+        )
+
+        shading = found & (b < cfg.max_depth)
+        m = B.gather_materials(scene, hit.mat_id)
+        null_mat = m.mat_type == sb.MAT_NONE
+        # Null materials: pass through (the reference re-spawns without
+        # counting the bounce, statpath.cpp:823-827; we consume a bounce,
+        # negligible at maxdepth 65).
+        shading = shading & ~null_mat
+
+        frame = B.ShadingFrame.from_normal(
+            jnp.where(jnp.any(hit.ns != 0, -1, keepdims=True), hit.ns,
+                      jnp.array([0.0, 0.0, 1.0])))
+        wo_world = -d
+        wo_l = frame.to_local(wo_world)
+
+        # --- bounce-0 feature capture -----------------------------------
+        first = (b == 0) & shading
+        mat_feature = (hit.mat_id + 1).astype(jnp.float32)
+        carry_mat = jnp.where(first, mat_feature, carry["mat_id"])
+        carry_depth = jnp.where(first, hit.t, carry["depth"])
+        carry_normal = jnp.where(first[..., None], hit.ns, carry["normal"])
+        alb = _approx_albedo(m, B.cos_theta(wo_l))
+        carry_albedo = jnp.where(first[..., None], alb, carry["albedo"])
+
+        # --- next-event estimation --------------------------------------
+        delta_bsdf = B.is_specular(m)
+        nee = shading & ~delta_bsdf
+
+        u_sel = crng.uniform_1d(keys, b, crng.SLOT_LIGHT_SELECT)
+        light_id, sel_pmf = sample_light_id(dist, u_sel)
+        u_light = crng.uniform_2d(keys, b, crng.SLOT_LIGHT_SAMPLE)
+        p_off_wi = hit.p  # offset applied per ray below
+
+        lsamp = LT.sample_li(scene, light_id, hit.p, hit.ng, u_light)
+        wi_l = frame.to_local(lsamp.wi)
+        f_l, pdf_l_scatter = B.evaluate(m, wo_l, wi_l)
+        f_l = f_l * cm.absdot(lsamp.wi, hit.ns)[..., None]
+        lvalid = nee & (lsamp.pdf > 0) & jnp.any(lsamp.li > 0, -1) \
+            & jnp.any(f_l > 0, -1)
+        sh_o = _offset_origin(hit.p, hit.ng, lsamp.wi)
+        occ = occluded_scene(
+            scene, sh_o, lsamp.wi,
+            jnp.maximum(lsamp.dist * 0.999, 0.0), bvh=bvh,
+        )
+        li_l = jnp.where((lvalid & ~occ)[..., None], lsamp.li, 0.0)
+        contributed_l = jnp.any(li_l > 0, -1) & lvalid
+        w_l = power_heuristic(1.0, lsamp.pdf, 1.0, pdf_l_scatter)
+        contr_l = f_l * li_l / jnp.maximum(lsamp.pdf, 1e-30)[..., None]
+
+        # BSDF half of EstimateDirect.
+        u_bs = crng.uniform_2d(keys, b, crng.SLOT_BSDF_NEE)
+        uc_bs = crng.uniform_1d(keys, b, crng.SLOT_BSDF_COMPONENT)
+        bsmp = B.sample(m, wo_l, u_bs, uc_bs)
+        wi2 = frame.to_world(bsmp.wi)
+        f_b = bsmp.f * cm.absdot(wi2, hit.ns)[..., None]
+        bs_o = _offset_origin(hit.p, hit.ng, wi2)
+        hit2 = intersect_scene(scene, bs_o, wi2, bvh=bvh)
+        same_light = hit2.found & (hit2.light_id == light_id)
+        li_b_hit = LT.area_light_le(scene, hit2.light_id, hit2.ng, -wi2)
+        is_inf_light = scene.light_kind[light_id] == sb.LIGHT_INFINITE
+        li_b_esc = jnp.where(
+            is_inf_light[..., None], scene.light_L[light_id], 0.0
+        )
+        li_b = jnp.where(same_light[..., None], li_b_hit,
+                         jnp.where(hit2.found[..., None], 0.0, li_b_esc))
+        light_pdf_b = LT.pdf_li(
+            scene, light_id, hit.p, wi2, hit2.p, hit2.ng, hit2.found
+        )
+        w_b = jnp.where(
+            bsmp.specular, 1.0,
+            power_heuristic(1.0, bsmp.pdf, 1.0, light_pdf_b),
+        )
+        bvalid = (
+            nee & ~lsamp.is_delta & (bsmp.pdf > 0) & jnp.any(f_b > 0, -1)
+            & (bsmp.specular | (light_pdf_b > 0))
+        )
+        contributed_b = jnp.any(li_b > 0, -1) & bvalid
+        contr_b = f_b * li_b / jnp.maximum(bsmp.pdf, 1e-30)[..., None]
+
+        # --- SMIS strategy disabling (statpath.cpp:559-560,630-728) -----
+        smis_here = cfg.enable_smis & (b < cfg.nb_mis)
+        bidx = jnp.minimum(b, NB - 1)
+        wr_l = win_light[:, bidx]
+        wr_b = win_bsdf[:, bidx]
+        t_b = carry["mis_bsdf"][:, bidx]
+        t_l = carry["mis_light"][:, bidx]
+        fb = feedback_on
+        dl0 = smis_here & fb & (wr_l < 1e-3) & (t_l == 0) \
+            & ((wr_b >= 1e-3) | (t_b > 0))
+        db0 = smis_here & fb & (wr_b < 1e-3) & (t_b == 0) \
+            & ((wr_l >= 1e-3) | (t_l > 0))
+
+        exec_l1 = (~dl0 | lsamp.is_delta) & contributed_l
+        clear_db = exec_l1 & ~lsamp.is_delta & (w_l <= 0.5)
+        db1 = db0 & ~clear_db
+        exec_b = ~db1 & ~lsamp.is_delta & contributed_b
+        goto_l = exec_b & (w_b <= 0.5) & dl0
+        dl1 = dl0 & ~goto_l
+
+        # Contributions with SMIS full-weight promotion.
+        ld = jnp.zeros((P, 3))
+        add_l1 = jnp.where(
+            lsamp.is_delta[..., None],
+            contr_l,
+            jnp.where((db0 & (w_l > 0.5))[..., None], contr_l,
+                      contr_l * w_l[..., None]),
+        )
+        ld = ld + jnp.where(exec_l1[..., None], add_l1, 0.0)
+        add_b = jnp.where((dl1)[..., None], contr_b, contr_b * w_b[..., None])
+        ld = ld + jnp.where(exec_b[..., None], add_b, 0.0)
+        # goto-light re-run: light half executes once more.
+        add_l2 = jnp.where((db1 & (w_l > 0.5))[..., None], contr_l,
+                           contr_l * w_l[..., None])
+        ld = ld + jnp.where((goto_l & contributed_l)[..., None], add_l2, 0.0)
+
+        ld = ld / jnp.maximum(sel_pmf, 1e-30)[..., None]
+        ls = ls + jnp.where(nee[..., None, None],
+                            betas * ld[:, None, :], 0.0)
+
+        # Tallies (only when SMIS active at this bounce).
+        inc_lt = jnp.where(exec_l1 & ~lsamp.is_delta,
+                           jnp.where(w_l > 0.5, 1.0, 0.0), 0.0)
+        inc_bt = jnp.where(exec_l1 & ~lsamp.is_delta,
+                           jnp.where(w_l > 0.5, 0.0, 1.0), 0.0)
+        inc_bt = inc_bt + jnp.where(exec_b, jnp.where(w_b > 0.5, 1.0, 0.0), 0.0)
+        inc_lt = inc_lt + jnp.where(exec_b, jnp.where(w_b > 0.5, 0.0, 1.0), 0.0)
+        # second light run tallies again
+        rerun = goto_l & contributed_l
+        inc_lt = inc_lt + jnp.where(rerun, jnp.where(w_l > 0.5, 1.0, 0.0), 0.0)
+        inc_bt = inc_bt + jnp.where(rerun, jnp.where(w_l > 0.5, 0.0, 1.0), 0.0)
+        sm = (smis_here & nee).astype(jnp.float32)
+        mis_bsdf = carry["mis_bsdf"].at[:, bidx].add(sm * inc_bt)
+        mis_light = carry["mis_light"].at[:, bidx].add(sm * inc_lt)
+
+        # --- BSDF sampling for path continuation ------------------------
+        u_pc = crng.uniform_2d(keys, b, crng.SLOT_BSDF)
+        uc_pc = crng.uniform_1d(keys, b, crng.SLOT_BSDF_COMPONENT_PC)
+        psmp = B.sample(m, wo_l, u_pc, uc_pc)
+        wi_c = frame.to_world(psmp.wi)
+        bsdf_beta = (
+            psmp.f * cm.absdot(wi_c, hit.ns)[..., None]
+            / jnp.maximum(psmp.pdf, 1e-30)[..., None]
+        )
+        dead = ~shading | jnp.all(psmp.f <= 0, -1) | (psmp.pdf <= 0)
+        # Null materials continue straight through.
+        pass_through = found & (b < cfg.max_depth) & null_mat
+        dead = dead & ~pass_through
+
+        bmask = (jnp.arange(NL)[None, :] <= b) & ~dead[:, None]
+        betas = betas * jnp.where(
+            bmask[..., None],
+            jnp.where(pass_through[:, None, None], 1.0, bsdf_beta[:, None, :]),
+            1.0,
+        )
+        specular_new = jnp.where(pass_through, carry["specular"],
+                                 psmp.specular)
+        eta2 = m.eta[..., 0] ** 2
+        entering = cm.dot(wo_world, hit.ng) > 0
+        eta_mul = jnp.where(
+            psmp.specular & psmp.transmission,
+            jnp.where(entering, eta2, 1.0 / jnp.maximum(eta2, 1e-9)),
+            1.0,
+        )
+        eta_scale = carry["eta_scale"] * jnp.where(dead, 1.0, eta_mul)
+
+        d_new = jnp.where(pass_through[..., None], d, wi_c)
+        o_new = _offset_origin(hit.p, hit.ng, d_new)
+        o_new = jnp.where(pass_through[..., None],
+                          hit.p + d * 1e-4, o_new)
+
+        active = active & found & (b < cfg.max_depth) & ~dead
+
+        # --- Russian roulette (statpath.cpp:930-953) --------------------
+        rr_here = b > (cfg.rr_start_bounce - 1)
+        avg_idx = jnp.minimum(b + 1, NL - 1)
+        acrr_on = cfg.enable_acrr & feedback_on
+        avg_l0 = jnp.maximum(avg_ls[:, 0], 1e-12)
+        avg = jnp.where(acrr_on, avg_ls[:, avg_idx] / avg_l0, 1.0)
+        rr_beta_max = jnp.max(
+            betas[:, 0, :] * eta_scale[:, None], axis=-1
+        )
+        survival = rr_beta_max * avg
+        q = jnp.maximum(0.05, 1.0 - survival)
+        u_rr = crng.uniform_1d(keys, b, crng.SLOT_RR)
+        do_rr = rr_here & active & (survival < cfg.rr_threshold)
+        killed = do_rr & (u_rr < q)
+        active = active & ~killed
+        betas = jnp.where(
+            (do_rr & ~killed)[:, None, None],
+            betas / jnp.maximum(1.0 - q, 1e-6)[:, None, None],
+            betas,
+        )
+
+        new_carry = dict(
+            o=o_new, d=d_new, ls=ls, betas=betas,
+            specular=specular_new, active=active, eta_scale=eta_scale,
+            mis_bsdf=mis_bsdf, mis_light=mis_light,
+            mat_id=carry_mat, depth=carry_depth,
+            normal=carry_normal, albedo=carry_albedo,
+        )
+        return new_carry, None
+
+    carry, _ = jax.lax.scan(body, carry, bounce_ids)
+
+    # NaN / negative / infinite luminance scrub on the film estimate
+    # (statpath.cpp:333-351): only Ls[0] is scrubbed.
+    l0 = carry["ls"][:, 0, :]
+    y = spec.luminance(l0)
+    bad = jnp.isnan(jnp.sum(l0, -1)) | (y < -1e-5) | jnp.isinf(y)
+    ls = carry["ls"].at[:, 0, :].set(jnp.where(bad[..., None], 0.0, l0))
+
+    return SampleOutput(
+        ls=ls,
+        mis_bsdf=carry["mis_bsdf"][:, : max(cfg.nb_mis, 1)],
+        mis_light=carry["mis_light"][:, : max(cfg.nb_mis, 1)],
+        mat_id=carry["mat_id"],
+        depth=carry["depth"],
+        normal=carry["normal"],
+        albedo=carry["albedo"],
+    )

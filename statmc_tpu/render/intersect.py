@@ -208,6 +208,62 @@ def intersect_dense(scene: SceneTables, o: Array, d: Array,
     return _assemble_hit(scene, o, d, t_best, kind, idx)
 
 
+def intersect_scene(scene: SceneTables, o: Array, d: Array,
+                    t_max: Array | None = None, bvh=None) -> Hit:
+    """Closest hit via BVH for triangles (when provided) + dense spheres."""
+    if bvh is None:
+        return intersect_dense(scene, o, d, t_max)
+    from ..accel.traverse import intersect_bvh
+
+    R = o.shape[0]
+    if t_max is None:
+        t_max = jnp.full((R,), cm.INF)
+    t_best = t_max
+    kind = jnp.zeros((R,), jnp.int32)
+    idx = jnp.zeros((R,), jnp.int32)
+
+    if scene.sph_center.shape[0] > 0:
+        t, hit = ray_spheres(o, d, scene.sph_center, scene.sph_radius, t_best)
+        t = jnp.where(hit, t, cm.INF)
+        j = jnp.argmin(t, axis=-1)
+        tj = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
+        better = tj < t_best
+        t_best = jnp.where(better, tj, t_best)
+        kind = jnp.where(better, PRIM_SPH, kind)
+        idx = jnp.where(better, j.astype(jnp.int32), idx)
+
+    if scene.tri_p0.shape[0] > 0:
+        tt, tid, found = intersect_bvh(
+            bvh, scene.tri_p0, scene.tri_e1, scene.tri_e2, o, d, t_best
+        )
+        better = found & (tt < t_best)
+        t_best = jnp.where(better, tt, t_best)
+        kind = jnp.where(better, PRIM_TRI, kind)
+        idx = jnp.where(better, tid, idx)
+
+    return _assemble_hit(scene, o, d, t_best, kind, idx)
+
+
+def occluded_scene(scene: SceneTables, o: Array, d: Array, t_max: Array,
+                   bvh=None) -> Array:
+    """Any-hit (shadow) test via BVH + dense spheres."""
+    if bvh is None:
+        return occluded_dense(scene, o, d, t_max)
+    from ..accel.traverse import intersect_bvh
+
+    blocked = jnp.zeros(o.shape[:1], bool)
+    if scene.sph_center.shape[0] > 0:
+        _, hit = ray_spheres(o, d, scene.sph_center, scene.sph_radius, t_max)
+        blocked |= jnp.any(hit, axis=-1)
+    if scene.tri_p0.shape[0] > 0:
+        _, _, found = intersect_bvh(
+            bvh, scene.tri_p0, scene.tri_e1, scene.tri_e2, o, d, t_max,
+            any_hit=True,
+        )
+        blocked |= found
+    return blocked
+
+
 def occluded_dense(scene: SceneTables, o: Array, d: Array, t_max: Array
                    ) -> Array:
     """Any-hit (shadow) test; [R] bool.  t_max excludes the light itself."""

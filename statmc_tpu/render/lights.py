@@ -1,0 +1,278 @@
+"""Light sampling over lanes.
+
+Re-derivation of the reference's light plugins (src/lights/*.cpp) and
+shape sampling routines (src/shapes/{sphere,triangle}.cpp Sample/Pdf) in
+SoA form.  As in pbrt, every emissive *triangle* is its own light (the
+reference's GraphicsState attaches one DiffuseAreaLight per Shape), and
+sphere area lights use cone sampling from outside points
+(shapes/sphere.cpp:Sample(ref, u)).
+
+All routines map over [R] lanes with per-lane light ids; kinds are
+evaluated branchlessly and selected by where().
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as cm
+from ..scene import build as sb
+
+Array = jax.Array
+
+
+class LightSample(NamedTuple):
+    wi: Any  # [R,3] world, unit, toward light
+    pdf: Any  # [R] solid-angle pdf
+    li: Any  # [R,3] radiance arriving if unoccluded
+    p_light: Any  # [R,3] point on light (for shadow-ray t_max)
+    dist: Any  # [R] distance to the light point (INF for distant/inf)
+    is_delta: Any  # [R] delta light (no MIS vs BSDF)
+
+
+def sample_li(scene: sb.SceneTables, light_id: Array, ref_p: Array,
+              ref_ng: Array, u2: Array) -> LightSample:
+    """Sample one light per lane. light_id: [R] into the light tables."""
+    kind = scene.light_kind[light_id]
+    L = scene.light_L[light_id]
+    prim = scene.light_prim[light_id]
+    pos = scene.light_pos[light_id]
+    aux = scene.light_aux[light_id]
+    par = scene.light_params[light_id]
+    area = scene.light_area[light_id]
+
+    R = ref_p.shape[0]
+    eps = 1e-4
+
+    # ---- AREA_TRI: uniform-area triangle sampling --------------------
+    if scene.tri_p0.shape[0] > 0:
+        tid = jnp.where(kind == sb.LIGHT_AREA_TRI, prim, 0)
+        p0 = scene.tri_p0[tid]
+        e1 = scene.tri_e1[tid]
+        e2 = scene.tri_e2[tid]
+        # Uniform barycentric (triangle.cpp:Sample / sampling.cpp:
+        # UniformSampleTriangle).
+        su0 = jnp.sqrt(jnp.maximum(u2[..., 0], 0.0))
+        b0 = 1.0 - su0
+        b1 = u2[..., 1] * su0
+        p_tri = p0 + b0[..., None] * 0.0 + b1[..., None] * 0.0  # placeholder
+        p_tri = p0 + b0[..., None] * e1 + b1[..., None] * e2
+        n_tri = cm.normalize(jnp.cross(e1, e2))
+        wi_t = p_tri - ref_p
+        d2_t = cm.length_squared(wi_t)
+        dist_t = jnp.sqrt(jnp.maximum(d2_t, 1e-20))
+        wi_tn = wi_t / dist_t[..., None]
+        cos_l = cm.absdot(n_tri, wi_tn)
+        # pdf_area = 1/area -> solid angle (shape.cpp:Pdf(ref,wi)).
+        pdf_t = d2_t / jnp.maximum(cos_l * area, 1e-12)
+        pdf_t = jnp.where(cos_l > 1e-7, pdf_t, 0.0)
+        li_t = jnp.where(
+            (cm.dot(n_tri, -wi_tn) > 0)[..., None], L, 0.0
+        )
+    else:
+        p_tri = jnp.zeros_like(ref_p)
+        wi_tn = jnp.zeros_like(ref_p)
+        dist_t = jnp.zeros((R,))
+        pdf_t = jnp.zeros((R,))
+        li_t = jnp.zeros_like(ref_p)
+
+    # ---- AREA_SPH: cone sampling from outside (sphere.cpp:Sample) ----
+    if scene.sph_center.shape[0] > 0:
+        sid = jnp.where(kind == sb.LIGHT_AREA_SPH, prim, 0)
+        c = scene.sph_center[sid]
+        r = scene.sph_radius[sid]
+        to_c = c - ref_p
+        dc2 = cm.length_squared(to_c)
+        dc = jnp.sqrt(jnp.maximum(dc2, 1e-20))
+        inside = dc2 <= r * r * 1.0001
+        w = to_c / dc[..., None]
+        wx, wy = cm.coordinate_system(w)
+        sin2_tmax = jnp.clip(r * r / dc2, 0.0, 1.0)
+        cos_tmax = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_tmax))
+        cos_t = (1.0 - u2[..., 0]) + u2[..., 0] * cos_tmax
+        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+        phi = u2[..., 1] * 2.0 * jnp.pi
+        # Project onto the sphere (pbrt computes ds then the point).
+        ds = dc * cos_t - jnp.sqrt(
+            jnp.maximum(r * r - dc2 * sin_t * sin_t, 0.0)
+        )
+        cos_alpha = (dc2 + r * r - ds * ds) / jnp.maximum(2.0 * dc * r, 1e-12)
+        sin_alpha = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_alpha**2))
+        n_sph = -(
+            sin_alpha[..., None] * jnp.cos(phi)[..., None] * wx
+            + sin_alpha[..., None] * jnp.sin(phi)[..., None] * wy
+            + cos_alpha[..., None] * w
+        )
+        p_sph = c + r[..., None] * (-n_sph)
+        wi_s = cm.normalize(p_sph - ref_p)
+        pdf_s = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_tmax), 1e-9)
+        # Inside the sphere: uniform over the full sphere area.
+        u_sph = _uniform_sphere(u2)
+        p_in = c + r[..., None] * u_sph
+        wi_in = cm.normalize(p_in - ref_p)
+        d2_in = cm.length_squared(p_in - ref_p)
+        cos_in = cm.absdot(u_sph, wi_in)
+        pdf_in = d2_in / jnp.maximum(
+            cos_in * 4.0 * jnp.pi * r * r, 1e-12
+        )
+        wi_sn = jnp.where(inside[..., None], wi_in, wi_s)
+        p_sphere = jnp.where(inside[..., None], p_in, p_sph)
+        pdf_sp = jnp.where(inside, pdf_in, pdf_s)
+        n_at = jnp.where(inside[..., None], u_sph, -n_sph)
+        li_s = jnp.where((cm.dot(n_at, -wi_sn) > 0)[..., None], L, 0.0)
+        dist_s = cm.length(p_sphere - ref_p)
+    else:
+        p_sphere = jnp.zeros_like(ref_p)
+        wi_sn = jnp.zeros_like(ref_p)
+        dist_s = jnp.zeros((R,))
+        pdf_sp = jnp.zeros((R,))
+        li_s = jnp.zeros_like(ref_p)
+
+    # ---- POINT / SPOT -----------------------------------------------
+    to_p = pos - ref_p
+    d2_p = jnp.maximum(cm.length_squared(to_p), 1e-20)
+    dist_p = jnp.sqrt(d2_p)
+    wi_p = to_p / dist_p[..., None]
+    li_p = L / d2_p[..., None]
+    # Spot falloff (lights/spot.cpp:Falloff).
+    cos_spot = cm.dot(-wi_p, aux)
+    cos_falloff, cos_total = par[..., 1], par[..., 0]
+    delta = jnp.clip(
+        (cos_spot - cos_total)
+        / jnp.maximum(cos_falloff - cos_total, 1e-9),
+        0.0, 1.0,
+    )
+    falloff = jnp.where(
+        cos_spot < cos_total, 0.0,
+        jnp.where(cos_spot > cos_falloff, 1.0, (delta * delta) ** 2),
+    )
+    li_spot = li_p * falloff[..., None]
+
+    # ---- DISTANT -----------------------------------------------------
+    wi_d = pos  # stored direction toward light
+    li_d = L
+    dist_d = jnp.full((R,), 2.0) * scene.world_radius
+
+    # ---- INFINITE (constant radiance map) ----------------------------
+    # pbrt samples the (u,v) map -> direction with
+    # pdf = map_pdf / (2 pi^2 sin(theta)); constant map => map_pdf = 1.
+    theta = u2[..., 1] * jnp.pi
+    phi_i = u2[..., 0] * 2.0 * jnp.pi
+    st = jnp.sin(theta)
+    wi_inf = cm.spherical_direction(st, jnp.cos(theta), phi_i)
+    pdf_inf = jnp.where(
+        st > 1e-7, 1.0 / (2.0 * jnp.pi * jnp.pi * jnp.maximum(st, 1e-7)), 0.0
+    )
+    dist_inf = jnp.full((R,), 2.0) * scene.world_radius
+
+    # ---- Select per kind --------------------------------------------
+    is_tri = kind == sb.LIGHT_AREA_TRI
+    is_sph = kind == sb.LIGHT_AREA_SPH
+    is_pt = kind == sb.LIGHT_POINT
+    is_spot = kind == sb.LIGHT_SPOT
+    is_dist = kind == sb.LIGHT_DISTANT
+    is_inf = kind == sb.LIGHT_INFINITE
+
+    wi = jnp.where(is_tri[..., None], wi_tn, 0.0)
+    wi = jnp.where(is_sph[..., None], wi_sn, wi)
+    wi = jnp.where((is_pt | is_spot)[..., None], wi_p, wi)
+    wi = jnp.where(is_dist[..., None], wi_d, wi)
+    wi = jnp.where(is_inf[..., None], wi_inf, wi)
+
+    pdf = jnp.where(is_tri, pdf_t, 0.0)
+    pdf = jnp.where(is_sph, pdf_sp, pdf)
+    pdf = jnp.where(is_pt | is_spot | is_dist, 1.0, pdf)
+    pdf = jnp.where(is_inf, pdf_inf, pdf)
+
+    li = jnp.where(is_tri[..., None], li_t, 0.0)
+    li = jnp.where(is_sph[..., None], li_s, li)
+    li = jnp.where(is_pt[..., None], li_p, li)
+    li = jnp.where(is_spot[..., None], li_spot, li)
+    li = jnp.where(is_dist[..., None], li_d, li)
+    li = jnp.where(is_inf[..., None], L, li)
+
+    dist = jnp.where(is_tri, dist_t, 0.0)
+    dist = jnp.where(is_sph, dist_s, dist)
+    dist = jnp.where(is_pt | is_spot, dist_p, dist)
+    dist = jnp.where(is_dist, dist_d, dist)
+    dist = jnp.where(is_inf, dist_inf, dist)
+
+    p_l = jnp.where(is_tri[..., None], p_tri, ref_p + wi * dist[..., None])
+    p_l = jnp.where(is_sph[..., None], p_sphere, p_l)
+
+    return LightSample(
+        wi=wi, pdf=pdf, li=li, p_light=p_l, dist=dist,
+        is_delta=is_pt | is_spot | is_dist,
+    )
+
+
+def _uniform_sphere(u2):
+    z = 1.0 - 2.0 * u2[..., 0]
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def pdf_li(scene: sb.SceneTables, light_id: Array, ref_p: Array, wi: Array,
+           hit_p: Array, hit_ng: Array, hit_valid: Array) -> Array:
+    """Solid-angle pdf of sampling direction `wi` from light `light_id`
+    given that a BSDF-sampled ray hit that light at hit_p (Light::Pdf_Li).
+    For infinite lights hit_valid is False and hit_p unused.
+    """
+    kind = scene.light_kind[light_id]
+    area = scene.light_area[light_id]
+    prim = scene.light_prim[light_id]
+
+    # Area triangle: r^2 / (cos * area).
+    d2 = cm.length_squared(hit_p - ref_p)
+    cos_l = cm.absdot(hit_ng, wi)
+    pdf_area = jnp.where(
+        cos_l > 1e-7, d2 / jnp.maximum(cos_l * area, 1e-12), 0.0
+    )
+
+    # Sphere: cone pdf from outside.
+    if scene.sph_center.shape[0] > 0:
+        sid = jnp.where(kind == sb.LIGHT_AREA_SPH, prim, 0)
+        c = scene.sph_center[sid]
+        r = scene.sph_radius[sid]
+        dc2 = cm.length_squared(c - ref_p)
+        inside = dc2 <= r * r * 1.0001
+        sin2_tmax = jnp.clip(r * r / jnp.maximum(dc2, 1e-20), 0.0, 1.0)
+        cos_tmax = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_tmax))
+        pdf_cone = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_tmax), 1e-9)
+        pdf_sph = jnp.where(inside, pdf_area, pdf_cone)
+    else:
+        pdf_sph = jnp.zeros_like(pdf_area)
+
+    theta = jnp.arccos(jnp.clip(wi[..., 2], -1.0, 1.0))
+    st = jnp.sin(theta)
+    pdf_inf = jnp.where(
+        st > 1e-7, 1.0 / (2.0 * jnp.pi * jnp.pi * jnp.maximum(st, 1e-7)), 0.0
+    )
+
+    pdf = jnp.where(kind == sb.LIGHT_AREA_TRI, pdf_area, 0.0)
+    pdf = jnp.where(kind == sb.LIGHT_AREA_SPH, pdf_sph, pdf)
+    pdf = jnp.where(kind == sb.LIGHT_INFINITE, pdf_inf, pdf)
+    return pdf
+
+
+def escaped_radiance(scene: sb.SceneTables, d: Array) -> Array:
+    """Sum of infinite lights' Le for escaped rays (constant maps)."""
+    if scene.light_kind.shape[0] == 0:
+        return jnp.zeros(d.shape[:-1] + (3,))
+    inf_mask = scene.light_kind == sb.LIGHT_INFINITE
+    total = jnp.sum(
+        jnp.where(inf_mask[:, None], scene.light_L, 0.0), axis=0
+    )
+    return jnp.broadcast_to(total, d.shape[:-1] + (3,))
+
+
+def area_light_le(scene: sb.SceneTables, light_id: Array, ng: Array,
+                  w: Array) -> Array:
+    """Emitted radiance of an area light hit by a ray going `w` FROM the
+    surface toward the viewer (DiffuseAreaLight::L: L if dot(n, w) > 0)."""
+    L = scene.light_L[jnp.maximum(light_id, 0)]
+    emit = (light_id >= 0) & (cm.dot(ng, w) > 0)
+    return jnp.where(emit[..., None], L, 0.0)

@@ -325,6 +325,10 @@ def build_scene(desc: SceneDescription) -> SceneTables:
                 tri_mat.append(mid)
                 tri_light.append(lid)
             if lid >= 0:
+                # pbrt attaches one DiffuseAreaLight per Shape, and a
+                # triangle mesh is a vector of Triangle shapes -> one
+                # light per emissive triangle (core/api.cpp:
+                # pbrtShape area-light loop).
                 lights[lid]["kind"] = LIGHT_AREA_TRI
                 lights[lid]["tris"] = list(range(start, len(tri_p)))
         elif sd.shape_type == "sphere":
@@ -400,12 +404,26 @@ def build_scene(desc: SceneDescription) -> SceneTables:
                               np.cos(np.radians(cone - delta))], np.float32),
                 area=0.0, tris=[]))
 
-    # Drop area-light records whose shapes were skipped.
-    keep = [i for i, l in enumerate(lights) if l["kind"] >= 0]
-    remap = {old: new for new, old in enumerate(keep)}
-    lights = [lights[i] for i in keep]
-    tri_light = [remap.get(l, -1) for l in tri_light]
-    sph_light = [remap.get(l, -1) for l in sph_light]
+    # Explode mesh area lights into one light per triangle (pbrt
+    # semantics) and drop records whose shapes were skipped.
+    new_lights: list[dict] = []
+    tri_light_new = list(tri_light)
+    sph_remap: dict[int, int] = {}
+    for old_id, l in enumerate(lights):
+        if l["kind"] == LIGHT_AREA_TRI:
+            for t in l["tris"]:
+                nl = dict(l)
+                nl["prim"] = t
+                nl["count"] = 1
+                nl["tris"] = []
+                new_lights.append(nl)
+                tri_light_new[t] = len(new_lights) - 1
+        elif l["kind"] >= 0:
+            new_lights.append(l)
+            sph_remap[old_id] = len(new_lights) - 1
+    lights = new_lights
+    tri_light = tri_light_new
+    sph_light = [sph_remap.get(l, -1) for l in sph_light]
 
     # Assemble triangle arrays.
     T = len(tri_p)
@@ -423,22 +441,14 @@ def build_scene(desc: SceneDescription) -> SceneTables:
         p0 = p1 = p2 = n0 = n1 = n2 = np.zeros((0, 3), np.float32)
         uv0 = uv1 = uv2 = np.zeros((0, 2), np.float32)
 
-    # Per-AREA_TRI-light CDFs over triangle area.
+    # Per-triangle light areas (each emissive triangle is its own light).
     lt_index, lt_cdf = [], []
-    for li, l in enumerate(lights):
+    for l in lights:
         if l["kind"] == LIGHT_AREA_TRI:
-            tris = l["tris"]
-            areas = np.array(
-                [0.5 * np.linalg.norm(np.cross(p1[t] - p0[t], p2[t] - p0[t]))
-                 for t in tris], np.float64,
+            t = l["prim"]
+            l["area"] = float(
+                0.5 * np.linalg.norm(np.cross(p1[t] - p0[t], p2[t] - p0[t]))
             )
-            total = float(areas.sum())
-            l["area"] = total
-            l["prim"] = len(lt_index)
-            l["count"] = len(tris)
-            cdf = np.cumsum(areas) / max(total, 1e-30)
-            lt_index.extend(tris)
-            lt_cdf.extend(cdf.tolist())
 
     if not mat_rows:
         mat_rows.append(_material_row(None, desc.textures))
