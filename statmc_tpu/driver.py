@@ -141,6 +141,13 @@ class Renderer:
     def __init__(self, setup: RenderSetup, denoiser=None):
         self.s = setup
         self.chunk_fn = make_chunk_fn(setup)
+        if denoiser is None and any(
+            c.enable and E.DENOISE_GROUP in c.groups
+            for c in setup.ecfg.configs
+        ):
+            from .denoise.filter_jax import StatDenoiser
+
+            denoiser = StatDenoiser(setup.ecfg, setup.width, setup.height)
         self.denoiser = denoiser
         P = setup.width * setup.height
         self.P = P
@@ -218,6 +225,8 @@ class Renderer:
         s = self.s
         W, H = s.width, s.height
         film = self.film_mean.reshape(H, W, 3)
+        if hasattr(self.denoiser, "prepare_gbuffers"):
+            self.denoiser.prepare_gbuffers(self.states)
         derived = {}
         film_f = None
         for c in s.ecfg.configs:

@@ -1,0 +1,162 @@
+"""Analytic-scene integrator tests.
+
+Follows the reference's test strategy for integrators
+(src/tests/analytic_scenes.cpp: scenes with closed-form radiance,
+image average asserted within a small delta) -- the pattern SURVEY.md §4
+identifies as the only integration-level correctness check the
+reference has.
+"""
+import tempfile
+
+import numpy as np
+import pytest
+
+from statmc_tpu.driver import load
+
+
+def _render(scene_text, iterations=1):
+    tmp = tempfile.mkdtemp()
+    p = tmp + "/scene.pbrt"
+    with open(p, "w") as f:
+        f.write(scene_text)
+    r = load(p)
+    r.render(iterations=iterations, verbose=False)
+    return r
+
+
+HEAD = """
+Sampler "random" "integer pixelsamples" [{spp}]
+Film "image" "integer xresolution" [8] "integer yresolution" [8] "string filename" ["t.pfm"]
+Camera "perspective" "float fov" [60]
+"""
+
+
+def test_point_light_direct():
+    """Unit sphere interior, Kd=0.5, I=pi point light at center:
+    direct radiance = Kd/pi * I = 0.5 everywhere."""
+    scene = (
+        'Integrator "statpath" "integer maxdepth" [1] '
+        '"integer iterations" [1] "bool calcstats" ["true"]\n'
+        + HEAD.format(spp=4)
+        + 'WorldBegin\n'
+        'Material "matte" "rgb Kd" [0.5 0.5 0.5]\n'
+        'Shape "sphere" "float radius" [1.0]\n'
+        'LightSource "point" "rgb I" [3.14159265 3.14159265 3.14159265]\n'
+        'WorldEnd\n'
+    )
+    r = _render(scene)
+    film = np.asarray(r.film_mean)
+    np.testing.assert_allclose(film.mean(), 0.5, atol=0.02)
+    np.testing.assert_allclose(film.std(), 0.0, atol=0.02)
+
+
+def test_furnace_multibounce():
+    """Same sphere, maxdepth 8, RR disabled: geometric series
+    0.5*(1-0.5^8)/(1-0.5) ~ 0.996."""
+    scene = (
+        'Integrator "statpath" "integer maxdepth" [8] '
+        '"integer iterations" [1] "bool calcstats" ["true"] '
+        '"float rrthreshold" [0]\n'
+        + HEAD.format(spp=32)
+        + 'WorldBegin\n'
+        'Material "matte" "rgb Kd" [0.5 0.5 0.5]\n'
+        'Shape "sphere" "float radius" [1.0]\n'
+        'LightSource "point" "rgb I" [3.14159265 3.14159265 3.14159265]\n'
+        'WorldEnd\n'
+    )
+    r = _render(scene)
+    film = np.asarray(r.film_mean)
+    expect = 0.5 * (1 - 0.5**8) / 0.5
+    np.testing.assert_allclose(film.mean(), expect, rtol=0.03)
+
+
+def test_emissive_quad_facing_camera():
+    """Camera staring at a large emissive quad (front side toward the
+    camera -- pbrt area lights are one-sided): film == L at bounce 0."""
+    scene = (
+        'Integrator "statpath" "integer maxdepth" [2] '
+        '"integer iterations" [1] "bool calcstats" ["true"]\n'
+        + HEAD.format(spp=2)
+        + 'WorldBegin\n'
+        'AttributeBegin\n'
+        'AreaLightSource "diffuse" "rgb L" [2.0 3.0 4.0]\n'
+        'Material "matte" "rgb Kd" [0 0 0]\n'
+        'Shape "trianglemesh" "integer indices" [0 2 1 0 3 2] '
+        '"point P" [-5 -5 2  5 -5 2  5 5 2  -5 5 2]\n'
+        'AttributeEnd\n'
+        'WorldEnd\n'
+    )
+    r = _render(scene)
+    film = np.asarray(r.film_mean).reshape(-1, 3)
+    np.testing.assert_allclose(
+        film.mean(axis=0), [2.0, 3.0, 4.0], rtol=0.05
+    )
+
+
+def test_infinite_light_black_scene():
+    """Constant infinite light, no geometry: film == L."""
+    scene = (
+        'Integrator "statpath" "integer maxdepth" [2] '
+        '"integer iterations" [1] "bool calcstats" ["true"]\n'
+        + HEAD.format(spp=2)
+        + 'WorldBegin\n'
+        'LightSource "infinite" "rgb L" [0.7 0.8 0.9]\n'
+        'WorldEnd\n'
+    )
+    r = _render(scene)
+    film = np.asarray(r.film_mean).reshape(-1, 3)
+    np.testing.assert_allclose(film.mean(axis=0), [0.7, 0.8, 0.9], atol=1e-3)
+
+
+def test_stat_buffers_track_film():
+    """film-mean stat buffer equals the film for bounce 0 (box filter
+    degenerates to per-pixel averaging, api.cpp:1703-1727)."""
+    scene = (
+        'Integrator "statpath" "integer maxdepth" [1] '
+        '"integer iterations" [2] "bool calcstats" ["true"]\n'
+        + HEAD.format(spp=4)
+        + 'WorldBegin\n'
+        'Material "matte" "rgb Kd" [0.5 0.5 0.5]\n'
+        'Shape "sphere" "float radius" [1.0]\n'
+        'LightSource "point" "rgb I" [3.14159265 3.14159265 3.14159265]\n'
+        'WorldEnd\n'
+    )
+    r = _render(scene, iterations=2)
+    bufs = r.buffers()
+    # After 2 exp iterations the stats hold 8 samples; the film holds the
+    # last iteration's 4 -- but both estimate the same constant 0.5.
+    np.testing.assert_allclose(bufs["t0-b0-n"], 8.0)
+    np.testing.assert_allclose(
+        bufs["t0-b0-film-mean"].mean(), bufs["film"].mean(), atol=0.02
+    )
+    # Box-Cox lambda=.5 of the constant 0.5: 2*(sqrt(.5)-1) = -0.5858.
+    np.testing.assert_allclose(
+        bufs["t0-b0-mean"].mean(), 2 * (np.sqrt(0.5) - 1), atol=0.02
+    )
+
+
+def test_acrr_smis_configs_run():
+    """ACRR + SMIS enabled end-to-end (2 iterations, feedback path live)."""
+    scene = (
+        'Integrator "statpath" "integer maxdepth" [4] '
+        '"integer iterations" [2] "bool denoiseimage" ["true"] '
+        '"bool acrr" ["true"] "bool smis" ["true"] '
+        '"integer trackedbounces" [3] "integer filterradius" [2] '
+        '"float filtersd" [1.5]\n'
+        + HEAD.format(spp=2)
+        + 'WorldBegin\n'
+        'Material "matte" "rgb Kd" [0.5 0.5 0.5]\n'
+        'Shape "sphere" "float radius" [1.0]\n'
+        'LightSource "point" "rgb I" [3.14159265 3.14159265 3.14159265]\n'
+        'WorldEnd\n'
+    )
+    r = _render(scene, iterations=2)
+    film = np.asarray(r.film_mean)
+    assert np.isfinite(film).all()
+    assert film.mean() > 0.3
+    assert r.film_f is not None
+    assert np.isfinite(np.asarray(r.film_f)).all()
+    bufs = r.buffers()
+    assert "t0-b1-mean" in bufs  # per-bounce radiance tracked
+    assert "t1-b0-mean" in bufs  # MIS BSDF win rate
+    assert "t0-b0-film-mean-f" in bufs
