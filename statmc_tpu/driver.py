@@ -95,40 +95,57 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
     )
 
 
-def make_chunk_fn(setup: RenderSetup):
-    """Build the jitted per-chunk render function."""
+def make_sample_fn(setup: RenderSetup):
+    """One-sample update closure shared by the single-chip chunk function
+    and the mesh-sharded step (parallel/shard.py)."""
     scene, bvh, dist = setup.scene, setup.bvh, setup.dist
     icfg, ecfg = setup.icfg, setup.ecfg
-    cam, W, H = setup.cam, setup.width, setup.height
-    P = W * H
-    pixel_ids = jnp.arange(P, dtype=jnp.int32)
-    px = (pixel_ids % W).astype(jnp.float32)
-    py = (pixel_ids // W).astype(jnp.float32)
+    cam, W = setup.cam, setup.width
 
-    def chunk(states, film_sum, film_w, base_key, sample_start,
+    def sample_step(states, film_sum, film_w, ray_total, base_key,
+                    sample_index, pixel_ids, avg_ls, win_b, win_l,
+                    feedback_on):
+        px = (pixel_ids % W).astype(jnp.float32)
+        py = (pixel_ids // W).astype(jnp.float32)
+        keys = crng.pixel_keys(base_key, pixel_ids, sample_index)
+        u_cam = crng.uniform_2d(keys, 0, crng.SLOT_CAMERA)
+        # Box filter, radius 0.5: each sample lands in its own pixel
+        # with weight 1 (api.cpp:1703-1727 enforces this for statpath;
+        # film accumulation degenerates to per-pixel averaging).
+        p_film = jnp.stack([px, py], axis=-1) + u_cam
+        o, d = CAM.generate_rays(cam, p_film)
+        out = trace(
+            scene, bvh, dist, icfg, o, d, keys,
+            avg_ls, win_b, win_l, feedback_on,
+        )
+        L = out.ls[:, 0, :]
+        film_sum = film_sum + L
+        film_w = film_w + 1.0
+        ray_total = ray_total + jnp.sum(out.n_rays)
+        states = E.update_states(states, ecfg, out)
+        return states, film_sum, film_w, ray_total
+
+    return sample_step
+
+
+def make_chunk_fn(setup: RenderSetup):
+    """Build the jitted per-chunk render function (single device)."""
+    P = setup.width * setup.height
+    pixel_ids = jnp.arange(P, dtype=jnp.int32)
+    sample_step = make_sample_fn(setup)
+
+    def chunk(states, film_sum, film_w, ray_total, base_key, sample_start,
               avg_ls, win_b, win_l, feedback_on, n_samples):
         def body(s, carry):
-            states, film_sum, film_w = carry
-            sample_index = sample_start + s
-            keys = crng.pixel_keys(base_key, pixel_ids, sample_index)
-            u_cam = crng.uniform_2d(keys, 0, crng.SLOT_CAMERA)
-            # Box filter, radius 0.5: each sample lands in its own pixel
-            # with weight 1 (api.cpp:1703-1727 enforces this for statpath;
-            # film accumulation degenerates to per-pixel averaging).
-            p_film = jnp.stack([px, py], axis=-1) + u_cam
-            o, d = CAM.generate_rays(cam, p_film)
-            out = trace(
-                scene, bvh, dist, icfg, o, d, keys,
-                avg_ls, win_b, win_l, feedback_on,
+            states, film_sum, film_w, ray_total = carry
+            return sample_step(
+                states, film_sum, film_w, ray_total, base_key,
+                sample_start + s, pixel_ids, avg_ls, win_b, win_l,
+                feedback_on,
             )
-            L = out.ls[:, 0, :]
-            film_sum = film_sum + L
-            film_w = film_w + 1.0
-            states = E.update_states(states, ecfg, out)
-            return states, film_sum, film_w
 
         return jax.lax.fori_loop(
-            0, n_samples, body, (states, film_sum, film_w)
+            0, n_samples, body, (states, film_sum, film_w, ray_total)
         )
 
     return jax.jit(chunk, static_argnames=("n_samples",))
@@ -159,6 +176,7 @@ class Renderer:
         self.states = E.make_states(s.ecfg, P)
         self.film_sum = jnp.zeros((P, 3))
         self.film_w = jnp.zeros((P,))
+        self.ray_total = jnp.zeros(())
         NL = s.icfg.n_ls
         NB = max(s.icfg.nb_mis, 1)
         self.avg_ls = jnp.ones((P, NL))
@@ -197,9 +215,10 @@ class Renderer:
 
         t0 = time.perf_counter()
         feedback_on = jnp.asarray(i > 1)
-        (self.states, self.film_sum, self.film_w) = self.chunk_fn(
-            self.states, self.film_sum, self.film_w, self.base_key,
-            jnp.asarray(start, jnp.int32),
+        (self.states, self.film_sum, self.film_w,
+         self.ray_total) = self.chunk_fn(
+            self.states, self.film_sum, self.film_w, self.ray_total,
+            self.base_key, jnp.asarray(start, jnp.int32),
             self.avg_ls, self.win_b, self.win_l, feedback_on,
             n_samples=n,
         )
@@ -217,6 +236,7 @@ class Renderer:
             "spp": self.total_spp(i),
             "render_s": t_render,
             "denoise_s": t_denoise,
+            "rays_total": float(self.ray_total),
         }
 
     def _denoise(self):
@@ -306,6 +326,63 @@ class Renderer:
                 write_pfm(path, arr)
                 written.append(path)
         return written
+
+    def denoise_from_disk(self, out_dir: str, iteration: int):
+        """--denoise mode: re-ingest prerendered buffers by filename
+        parsing and re-run only the filter (statpath.cpp:456-550).  The
+        sufficient statistics on disk are a complete checkpoint of the
+        estimator (SURVEY.md §5.4)."""
+        import glob as globmod
+
+        from .io.pfm import read_pfm
+
+        s = self.s
+        W, H = s.width, s.height
+        stem = os.path.splitext(os.path.basename(s.filename))[0]
+        spp = self.total_spp(iteration)
+        prefix = os.path.join(out_dir, f"{stem}-{spp}-")
+
+        film_path = prefix + "film.pfm"
+        if os.path.exists(film_path):
+            img = read_pfm(film_path).reshape(-1, 3)
+            self.film_sum = jnp.asarray(img)
+            self.film_w = jnp.ones((self.P,))
+
+        suffix_field = {
+            "n": "n", "mean": "mean", "m2": "m2", "m3": "m3",
+            "film-mean": "film_mean", "film-m2": "film_m2",
+        }
+        pat = re.compile(r"t(\d+)-b(\d+)-(.+)$")
+        index_to_type = {
+            c.index: c.type for c in s.ecfg.configs if c.enable
+        }
+        states = {t: dict(st) for t, st in self.states.items()}
+        for path in globmod.glob(prefix + "*.pfm"):
+            name = os.path.basename(path)[len(
+                os.path.basename(prefix)):-4]
+            m = pat.match(name)
+            if not m:
+                continue
+            t_idx, b_idx, suffix = int(m.group(1)), int(m.group(2)), m.group(3)
+            field = suffix_field.get(suffix)
+            if field is None or t_idx not in index_to_type:
+                continue
+            t = index_to_type[t_idx]
+            st = states[t]
+            if field == "n":
+                if "n" in st:
+                    arr = read_pfm(path).reshape(-1)[:, None]
+                    st["n"] = st["n"].at[b_idx].set(jnp.asarray(arr))
+                continue
+            if field not in st:
+                continue
+            arr = read_pfm(path)
+            C = st[field].shape[-1]
+            arr = arr.reshape(-1, C) if arr.ndim == 3 else arr.reshape(-1, 1)
+            st[field] = st[field].at[b_idx].set(jnp.asarray(arr))
+        self.states = states
+        self._denoise()
+        return self.write_outputs(out_dir, iteration)
 
     def render(self, iterations: int | None = None, out_dir: str | None = None,
                verbose: bool = True):

@@ -1,0 +1,148 @@
+"""Mesh-sharded rendering: pixels x samples over a 2-D device mesh.
+
+The reference's entire parallel backend is a single-host pthread pool
+over 16x16 image tiles plus one CUDA stream (SURVEY.md §2.7/§5.8).  The
+TPU-native equivalent built here:
+
+* mesh axes ("spp", "px"): film rows / pixel blocks sharded over "px",
+  sample indices strided over "spp";
+* scene/BVH tables replicated on every device (in_specs P());
+* per-iteration moment statistics are computed locally per device and
+  merged with the Chan pairwise-combine across the "spp" axis
+  (stats/moments.combine_across_axis) -- the exact-merging monoid that
+  replaces the reference's mutex film merge (film.cpp:136-151) and
+  lock-free tile merge (estimator.cpp:341-407);
+* film sample sums merge with a plain psum over "spp".
+
+Because every random draw is addressed by (pixel_id, sample_index)
+(core/rng.py), the N-device render equals the 1-device render up to the
+order of moment combination (Chan vs serial Meng -- identical in exact
+arithmetic), which the tests assert.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import rng as crng
+from ..stats import moments
+from ..stats import estimator as E
+from ..driver import RenderSetup, make_sample_fn
+
+try:  # jax >= 0.4.35
+    from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover
+    from jax.shard_map import shard_map
+
+
+def make_mesh(n_spp: int, n_px: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_spp * n_px, "not enough devices"
+    arr = np.array(devices[: n_spp * n_px]).reshape(n_spp, n_px)
+    return Mesh(arr, ("spp", "px"))
+
+
+def pad_pixels(P_total: int, n_px: int) -> int:
+    return ((P_total + n_px - 1) // n_px) * n_px
+
+
+def make_sharded_chunk_fn(setup: RenderSetup, mesh: Mesh):
+    """Jitted mesh-parallel render chunk.
+
+    All [P]-major arrays (film, states, feedback, pixel ids) must be
+    padded so the pixel axis divides the "px" axis size.
+    """
+    sample_step = make_sample_fn(setup)
+    ecfg = setup.ecfg
+    n_spp = mesh.shape["spp"]
+
+    state_spec = jax.tree.map(lambda _: P(None, "px"), E.make_states(
+        ecfg, mesh.shape["px"]))  # [NB,P,C]: shard pixel axis
+
+    in_specs = (
+        state_spec,  # states
+        P("px"),  # film_sum
+        P("px"),  # film_w
+        P(),  # ray_total
+        P(),  # base_key
+        P(),  # sample_start
+        P("px"),  # pixel_ids
+        P("px"),  # avg_ls
+        P("px"),  # win_b
+        P("px"),  # win_l
+        P(),  # feedback_on
+    )
+    out_specs = (state_spec, P("px"), P("px"), P())
+
+    def chunk(states, film_sum, film_w, ray_total, base_key, sample_start,
+              pixel_ids, avg_ls, win_b, win_l, feedback_on, n_samples):
+        my_spp = jax.lax.axis_index("spp")
+        n_local = n_samples // n_spp
+
+        # Fresh per-iteration local statistics (zeros), streamed serially
+        # on each device, then Chan-combined across the sample axis.
+        local_states = jax.tree.map(jnp.zeros_like, states)
+        local_film = jnp.zeros_like(film_sum)
+        local_w = jnp.zeros_like(film_w)
+        local_rays = jnp.zeros(())
+
+        def body(s, carry):
+            st, fs, fw, rt = carry
+            sample_index = sample_start + s * n_spp + my_spp
+            return sample_step(
+                st, fs, fw, rt, base_key, sample_index, pixel_ids,
+                avg_ls, win_b, win_l, feedback_on,
+            )
+
+        local_states, local_film, local_w, local_rays = jax.lax.fori_loop(
+            0, n_local, body, (local_states, local_film, local_w, local_rays)
+        )
+
+        merged = {
+            t: moments.combine_across_axis(st, "spp")
+            for t, st in local_states.items()
+        }
+        states = {t: moments.combine(states[t], merged[t]) for t in states}
+        film_sum = film_sum + jax.lax.psum(local_film, "spp")
+        film_w = film_w + jax.lax.psum(local_w, "spp")
+        ray_total = ray_total + jax.lax.psum(
+            jax.lax.psum(local_rays, "spp"), "px")
+        return states, film_sum, film_w, ray_total
+
+    sharded = shard_map(
+        chunk,
+        mesh=mesh,
+        in_specs=in_specs + (P(),),
+        out_specs=out_specs,
+        check_rep=False,
+    )
+
+    def wrapper(states, film_sum, film_w, ray_total, base_key,
+                sample_start, pixel_ids, avg_ls, win_b, win_l,
+                feedback_on, n_samples):
+        return sharded(
+            states, film_sum, film_w, ray_total, base_key, sample_start,
+            pixel_ids, avg_ls, win_b, win_l, feedback_on,
+            jnp.asarray(n_samples),
+        )
+
+    return jax.jit(wrapper, static_argnames=("n_samples",))
+
+
+def replicate_scene(setup: RenderSetup, mesh: Mesh) -> RenderSetup:
+    """Replicate the scene tables + BVH on every device of the mesh."""
+    repl = NamedSharding(mesh, P())
+
+    def put(x):
+        return jax.device_put(x, repl) if isinstance(x, jax.Array) else x
+
+    scene = jax.tree.map(put, setup.scene)
+    bvh = jax.tree.map(put, setup.bvh) if setup.bvh is not None else None
+    import dataclasses
+
+    return dataclasses.replace(setup, scene=scene, bvh=bvh)

@@ -59,6 +59,7 @@ class SampleOutput(NamedTuple):
     depth: Any  # [P] ray.tMax at first hit
     normal: Any  # [P,3] shading normal at first hit
     albedo: Any  # [P,3] approximate albedo at first hit
+    n_rays: Any  # [P] rays traced for this sample (closest + shadow)
 
 
 def power_heuristic(nf, f_pdf, ng, g_pdf):
@@ -132,6 +133,7 @@ def trace(
         depth=jnp.zeros((P,)),
         normal=jnp.zeros((P, 3)),
         albedo=jnp.zeros((P, 3)),
+        n_rays=jnp.zeros((P,)),
     )
 
     bounce_ids = jnp.arange(cfg.max_depth + 1)
@@ -346,12 +348,17 @@ def trace(
             betas,
         )
 
+        n_rays = (
+            carry["n_rays"]
+            + carry["active"].astype(jnp.float32)  # path closest-hit
+            + 2.0 * nee.astype(jnp.float32)  # shadow + BSDF-MIS closest
+        )
         new_carry = dict(
             o=o_new, d=d_new, ls=ls, betas=betas,
             specular=specular_new, active=active, eta_scale=eta_scale,
             mis_bsdf=mis_bsdf, mis_light=mis_light,
             mat_id=carry_mat, depth=carry_depth,
-            normal=carry_normal, albedo=carry_albedo,
+            normal=carry_normal, albedo=carry_albedo, n_rays=n_rays,
         )
         return new_carry, None
 
@@ -372,4 +379,5 @@ def trace(
         depth=carry["depth"],
         normal=carry["normal"],
         albedo=carry["albedo"],
+        n_rays=carry["n_rays"],
     )
