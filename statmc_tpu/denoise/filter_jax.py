@@ -153,12 +153,35 @@ def stat_filter(
     return out
 
 
+def corrected_stats(n, mean, m2, m3, tq, moon_ci: bool = False):
+    """Johnson-corrected means + discriminator (CI half width) per pixel.
+
+    Shared by both filter implementations; elementwise, XLA-fused.
+    Returns (mean_corr, disc) with shapes of `mean`.
+    """
+    nf = jnp.maximum(n, 1.0)[..., None]
+    s2 = m2 / jnp.maximum(nf - 1.0, 1.0)
+    if moon_ci:
+        mean_corr = mean
+    else:
+        m3hat = m3 / nf
+        corr = m3hat / jnp.maximum(6.0 * s2 * nf, 1e-12)
+        corr = jnp.where(s2 > 1e-12, corr, 0.0)
+        mean_corr = mean + corr
+    sem = jnp.sqrt(jnp.maximum(s2 / nf, 0.0))
+    from .ttest import MAX_DF
+
+    df = jnp.clip(n - 1.0, 0.0, float(MAX_DF)).astype(jnp.int32)
+    tcrit = tq[df][..., None]
+    return mean_corr, tcrit * sem
+
+
 class StatDenoiser:
     """Drives the filter over every DenoiseGroup buffer -- the functional
     analogue of Estimator::Denoise (estimator.cpp:427-489)."""
 
     def __init__(self, ecfg, width: int, height: int, alpha: float = 0.005,
-                 moon_ci: bool = False, impl: str = "jax"):
+                 moon_ci: bool = False, impl: str = "auto"):
         from ..stats import estimator as E
 
         self.E = E
@@ -166,6 +189,8 @@ class StatDenoiser:
         self.W, self.H = width, height
         self.alpha = alpha
         self.moon_ci = moon_ci
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "jax"
         self.impl = impl
         self.tq = jnp.asarray(quantile_table(alpha))
         self.ds_factor = jnp.asarray(
@@ -174,25 +199,34 @@ class StatDenoiser:
         self.radius = int(ecfg.filter_radius)
 
     def _gbuffers(self, states):
-        """Collect enabled filter G-buffer means: [G,H,W,3] + factors."""
+        """Collect enabled filter G-buffer means.
+
+        Returns (stacked [G,H,W,3], per-buffer factors [G],
+                 planes [H,W,Gp], per-plane factors tuple).
+        """
         E = self.E
-        gb, factors = [], []
+        gb, factors, planes, pfac = [], [], [], []
         for t in (E.STAT_MATERIAL_ID, E.STAT_DEPTH, E.STAT_NORMAL,
                   E.STAT_ALBEDO):
             c = self.ecfg.configs[t]
             if c.enable and c.enable_for_filter and t in states:
                 fm = states[t].get("film_mean", states[t]["mean"])[0]
-                img = np.asarray(fm).reshape(self.H, self.W, c.n_channels)
+                img = jnp.asarray(fm).reshape(self.H, self.W, c.n_channels)
+                fac = -0.5 / (c.filter_sd * c.filter_sd)
+                planes.append(img)
+                pfac.extend([fac] * c.n_channels)
                 if c.n_channels == 1:
-                    img = np.concatenate(
-                        [img, np.zeros((self.H, self.W, 2), np.float32)], -1
+                    img = jnp.concatenate(
+                        [img, jnp.zeros((self.H, self.W, 2))], -1
                     )
-                gb.append(jnp.asarray(img))
-                factors.append(-0.5 / (c.filter_sd * c.filter_sd))
+                gb.append(img)
+                factors.append(fac)
         if gb:
-            return jnp.stack(gb), jnp.asarray(factors, jnp.float32)
+            return (jnp.stack(gb), jnp.asarray(factors, jnp.float32),
+                    jnp.concatenate(planes, -1), tuple(pfac))
         return (jnp.zeros((0, self.H, self.W, 3)),
-                jnp.zeros((0,), jnp.float32))
+                jnp.zeros((0,), jnp.float32),
+                jnp.zeros((self.H, self.W, 0)), ())
 
     def __call__(self, state, cfg_type, film, width, height):
         """Filter all bounce buffers of one stat type.
@@ -206,7 +240,7 @@ class StatDenoiser:
         gbufs = getattr(self, "_gb_cache", None)
         if gbufs is None:
             raise RuntimeError("call prepare_gbuffers(states) first")
-        gb, gf = gbufs
+        gb, gf, gb_planes, gf_planes = gbufs
 
         outs = {"mean_corr": [], "discriminator": [], "film_mean_f": []}
         film_f = None
@@ -218,10 +252,31 @@ class StatDenoiser:
                 H, W, C)
             fm = state.get("film_mean", state["mean"])[j].reshape(H, W, C)
             fi = film if (film is not None and j == 0) else None
-            res = stat_filter(
-                n_img, mean, m2, m3, fm, gb, gf, self.ds_factor, self.tq,
-                self.radius, film_img=fi, moon_ci=self.moon_ci,
-            )
+            if self.impl == "pallas":
+                from .filter_pallas import _run_filter
+
+                mc, disc = corrected_stats(
+                    n_img, mean, m2, m3, self.tq, self.moon_ci
+                )
+                fstack = fm if fi is None else jnp.concatenate([fm, fi], -1)
+                out, _ = _run_filter(
+                    mc, disc * disc, fstack, gb_planes,
+                    jnp.ones((H, W)), self.radius, float(self.ds_factor),
+                    gf_planes,
+                )
+                res = {
+                    "mean_corr": mc,
+                    "discriminator": disc,
+                    "film_mean_f": out[..., :C],
+                }
+                if fi is not None:
+                    res["film_f"] = out[..., C:]
+            else:
+                res = stat_filter(
+                    n_img, mean, m2, m3, fm, gb, gf, self.ds_factor,
+                    self.tq, self.radius, film_img=fi,
+                    moon_ci=self.moon_ci,
+                )
             outs["mean_corr"].append(res["mean_corr"].reshape(-1, C))
             outs["discriminator"].append(res["discriminator"].reshape(-1, C))
             outs["film_mean_f"].append(res["film_mean_f"].reshape(-1, C))

@@ -1,0 +1,250 @@
+"""Pallas TPU kernel for the statistical denoising filter + custom VJP.
+
+Same semantics as filter_jax.stat_filter (the XLA reference
+implementation; see its docstring for the derivation) but engineered for
+the TPU memory hierarchy:
+
+* planar channel layout [C, H, W] so the image width rides the 128-lane
+  axis;
+* the image is processed in row slabs: each grid step DMAs a
+  (TH + 2*radius)-row halo slab of every field from HBM into VMEM once,
+  then sweeps all (2r+1)^2 window offsets out of VMEM -- the XLA
+  fallback re-streams the padded arrays from HBM every offset, which
+  makes it bandwidth-bound; this kernel is compute-bound on the VPU;
+* filter constants (spatial/range Gaussian factors) are baked into the
+  trace as python floats (they are config constants in the reference
+  too: estimator.h:259).
+
+The custom VJP exploits the symmetry of the unnormalized weights
+(w_ij = w_ji: spatial, range, and acceptance terms are all symmetric):
+
+  F_i = sum_j w_ij m_j / W_i,  W_i = sum_j w_ij
+  dL/dm_j = sum_i g_i w_ij / W_i = U[g / W]_j
+
+where U is the *unnormalized* filter -- so the backward pass is one more
+launch of the same kernel with normalization off.  Gradients through the
+binary acceptance test are zero almost everywhere and are treated as
+such (straight-through on the gate); gradients w.r.t. the moment buffers
+therefore vanish by construction, matching the finite-difference
+behavior of the reference filter at any point where no accept flips.
+"""
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _filter_kernel(
+    mc_hbm, d2_hbm, fm_hbm, gb_hbm, valid_hbm,
+    out_ref, wsum_ref,
+    *, C, CF, G, TH, WC, WS, radius, ds_factor, gb_factors, normalize,
+):
+    """One grid step: rows [i*TH, i*TH+TH).  HBM inputs are padded to
+    [*, Hp + 2r, WS]; compute runs on the [TH, WC] center; outputs are
+    [CF, TH, WC] blocks.  C = acceptance-test channels (mc/d2); CF =
+    filtered channels (fm may carry the film image as extra planes)."""
+    r = radius
+    i = pl.program_id(0)
+    SH = TH + 2 * r
+
+    def body(mc_s, d2_s, fm_s, gb_s, v_s, acc_s, wacc_s, sem):
+        # DMA the halo slabs for this row block.
+        row0 = i * TH
+        cps = [
+            pltpu.make_async_copy(
+                mc_hbm.at[:, pl.ds(row0, SH), :], mc_s, sem.at[0]),
+            pltpu.make_async_copy(
+                d2_hbm.at[:, pl.ds(row0, SH), :], d2_s, sem.at[1]),
+            pltpu.make_async_copy(
+                fm_hbm.at[:, pl.ds(row0, SH), :], fm_s, sem.at[2]),
+            pltpu.make_async_copy(
+                valid_hbm.at[pl.ds(row0, SH), :], v_s, sem.at[3]),
+        ]
+        if G:
+            cps.append(pltpu.make_async_copy(
+                gb_hbm.at[:, pl.ds(row0, SH), :], gb_s, sem.at[4]))
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+        # Center fields (static slices).
+        mc_c = [mc_s[c, r : r + TH, r : r + WC] for c in range(C)]
+        d2_c = [d2_s[c, r : r + TH, r : r + WC] for c in range(C)]
+        gb_c = [gb_s[g, r : r + TH, r : r + WC] for g in range(G)]
+
+        acc_s[...] = jnp.zeros_like(acc_s)
+        wacc_s[...] = jnp.zeros_like(wacc_s)
+
+        side = 2 * r + 1
+
+        def offset_body(k, _):
+            dy = k // side
+            dx = k % side
+            # Spatial Gaussian factor.
+            fdy = (dy - r).astype(jnp.float32)
+            fdx = (dx - r).astype(jnp.float32)
+            w = jnp.exp(ds_factor * (fdy * fdy + fdx * fdx))
+            w = jnp.broadcast_to(w, (TH, WC))
+
+            accept = None
+            for c in range(C):
+                mc_n = mc_s[c, pl.ds(dy, TH), pl.ds(dx, WC)]
+                d2_n = d2_s[c, pl.ds(dy, TH), pl.ds(dx, WC)]
+                diff = mc_c[c] - mc_n
+                a = diff * diff <= d2_c[c] + d2_n + 1e-20
+                accept = a if accept is None else (accept & a)
+            rsum = jnp.zeros((TH, WC))
+            for g in range(G):
+                gb_n = gb_s[g, pl.ds(dy, TH), pl.ds(dx, WC)]
+                dgb = gb_c[g] - gb_n
+                # gb_factors holds one -0.5/sigma_r^2 per *plane* (the
+                # caller repeats each buffer's factor over its channels).
+                rsum = rsum + gb_factors[g] * dgb * dgb
+            v_n = v_s[pl.ds(dy, TH), pl.ds(dx, WC)]
+            w = w * jnp.exp(rsum) * accept.astype(jnp.float32) * v_n
+            wacc_s[...] += w
+            for c in range(CF):
+                fm_n = fm_s[c, pl.ds(dy, TH), pl.ds(dx, WC)]
+                acc_s[c] += w * fm_n
+            return 0
+
+        jax.lax.fori_loop(0, side * side, offset_body, 0)
+
+        if normalize:
+            wsafe = jnp.maximum(wacc_s[...], 1e-20)
+            for c in range(CF):
+                out_ref[c] = acc_s[c] / wsafe
+        else:
+            for c in range(CF):
+                out_ref[c] = acc_s[c]
+        wsum_ref[0] = wacc_s[...]
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((C, SH, WS), jnp.float32),
+        pltpu.VMEM((C, SH, WS), jnp.float32),
+        pltpu.VMEM((CF, SH, WS), jnp.float32),
+        pltpu.VMEM((max(G, 1), SH, WS), jnp.float32),
+        pltpu.VMEM((SH, WS), jnp.float32),
+        pltpu.VMEM((CF, TH, WC), jnp.float32),
+        pltpu.VMEM((TH, WC), jnp.float32),
+        pltpu.SemaphoreType.DMA((5,)),
+    )
+
+
+def _pad_planar(img_hwc, r, Hp, WS):
+    """[H,W,C] -> [C, Hp+2r, WS] zero-padded planar (halo rows/cols)."""
+    H, W = img_hwc.shape[:2]
+    pl_img = jnp.moveaxis(img_hwc, -1, 0)
+    return jnp.pad(pl_img, ((0, 0), (r, (Hp - H) + r), (r, (WS - W) - r)))
+
+
+@partial(jax.jit, static_argnames=(
+    "radius", "ds_factor", "gb_factors", "normalize", "th", "interpret"))
+def _run_filter(mc, d2, fm, gbufs, valid, radius, ds_factor, gb_factors,
+                normalize=True, th=16, interpret=False):
+    """mc/d2: [H,W,C]; fm: [H,W,CF] (CF >= C: trailing planes filter
+    along, e.g. the film image); gbufs: [H,W,G] flattened G-buffer
+    planes; valid: [H,W].  Returns (out [H,W,CF], wsum [H,W])."""
+    H, W, C = mc.shape
+    CF = fm.shape[-1]
+    G = gbufs.shape[-1]
+    r = radius
+    TH = th
+    Hp = _round_up(H, TH)
+    WC = _round_up(W, 128)  # compute width (center)
+    WS = _round_up(WC + 2 * r, 128)  # slab width incl. halo
+
+    mc_p = _pad_planar(mc, r, Hp, WS)
+    d2_p = _pad_planar(d2, r, Hp, WS)
+    fm_p = _pad_planar(fm, r, Hp, WS)
+    v_p = jnp.pad(valid, ((r, (Hp - H) + r), (r, (WS - W) - r)))
+    gb_p = (_pad_planar(gbufs, r, Hp, WS) if G
+            else jnp.zeros((1, Hp + 2 * r, WS)))
+
+    grid = (Hp // TH,)
+    kernel = functools.partial(
+        _filter_kernel,
+        C=C, CF=CF, G=G, TH=TH, WC=WC, WS=WS, radius=r,
+        ds_factor=float(ds_factor),
+        gb_factors=tuple(float(g) for g in gb_factors),
+        normalize=normalize,
+    )
+    out, wsum = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((CF, TH, WC), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, WC), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((CF, Hp, WC), jnp.float32),
+            jax.ShapeDtypeStruct((1, Hp, WC), jnp.float32),
+        ],
+        interpret=interpret,
+    )(mc_p, d2_p, fm_p, gb_p, v_p)
+    out = jnp.moveaxis(out[:, :H, :W], 0, -1)
+    return out, wsum[0, :H, :W]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable entry point
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def filter_apply(film_mean, mc, d2, gbufs, valid, radius, ds_factor,
+                 gb_factors, interpret=False):
+    """Normalized statistical filter of `film_mean` with weights from
+    (mc, d2, gbufs).  Differentiable in film_mean."""
+    out, _ = _run_filter(
+        mc, d2, film_mean, gbufs, valid, radius, ds_factor, gb_factors,
+        normalize=True, interpret=interpret,
+    )
+    return out
+
+
+def _filter_fwd(film_mean, mc, d2, gbufs, valid, radius, ds_factor,
+                gb_factors, interpret=False):
+    out, wsum = _run_filter(
+        mc, d2, film_mean, gbufs, valid, radius, ds_factor, gb_factors,
+        normalize=True, interpret=interpret,
+    )
+    return out, (mc, d2, gbufs, valid, wsum)
+
+
+def _filter_bwd(radius, ds_factor, gb_factors, interpret, res, g):
+    mc, d2, gbufs, valid, wsum = res
+    gg = g / jnp.maximum(wsum, 1e-20)[..., None]
+    # w_ij symmetric => dL/dm = U[g / W] (unnormalized filter).
+    grad_m, _ = _run_filter(
+        mc, d2, gg, gbufs, valid, radius, ds_factor, gb_factors,
+        normalize=False, interpret=interpret,
+    )
+    zeros = jax.tree.map(jnp.zeros_like, (mc, d2, gbufs, valid))
+    return (grad_m,) + zeros
+
+
+filter_apply.defvjp(_filter_fwd, _filter_bwd)
