@@ -57,9 +57,21 @@ class _Node:
         self.left, self.right, self.prims = left, right, prims
 
 
-def build_bvh(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> FlatBVH:
-    """Build over triangles given as (p0, e1, e2) arrays [T,3]."""
+def build_bvh(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+              use_native: bool = True) -> FlatBVH:
+    """Build over triangles given as (p0, e1, e2) arrays [T,3].
+
+    Dispatches to the C++ builder (statmc_tpu/native) when available;
+    the numpy path below is the reference implementation and fallback.
+    """
     T = p0.shape[0]
+    if use_native and T > 0:
+        from ..native import build_bvh_native
+
+        res = build_bvh_native(p0, e1, e2, LEAF_SIZE)
+        if res is not None:
+            lo, hi, miss, leaf, slots = res
+            return FlatBVH(lo, hi, miss, leaf, slots)
     if T == 0:
         return FlatBVH(
             np.zeros((1, 3), np.float32),
