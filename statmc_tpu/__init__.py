@@ -14,3 +14,23 @@ JAX program.  See SURVEY.md at the repo root for the mapping.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the wavefront trace program is large and
+# XLA-TPU compiles are expensive (minutes); caching makes warm starts and
+# the driver's bench runs fast.  Opt out with STATMC_NO_JIT_CACHE=1.
+if not _os.environ.get("STATMC_NO_JIT_CACHE"):
+    _cache_dir = _os.environ.get(
+        "STATMC_JIT_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "..", ".jax_cache"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - older jax
+        pass

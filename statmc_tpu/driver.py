@@ -78,7 +78,12 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
     fov = float(desc.camera_params.find_one("fov", 90.0))
     cam = CAM.make_perspective(desc.camera_to_world, fov, width, height)
 
-    use_bvh = (not force_dense) and scene_np.tri_p0.shape[0] > 64
+    # Crossover measured on v5e: brute-force ray x triangle testing is
+    # pure dense VPU work (no gathers, no divergence) and beats the
+    # skip-link BVH walk up to several thousand triangles; the BVH wins
+    # beyond that.  (SURVEY.md §7 hard part #3 -- traversal-shape
+    # optimization is the active perf workstream.)
+    use_bvh = (not force_dense) and scene_np.tri_p0.shape[0] > 4096
     bvh = None
     if use_bvh:
         from .accel.bvh import build_bvh

@@ -66,10 +66,19 @@ class MaterialLanes(NamedTuple):
     sigma: Any
 
 
-def gather_materials(scene: sb.SceneTables, mat_id: Array) -> MaterialLanes:
+def gather_materials(scene: sb.SceneTables, mat_id: Array,
+                     uv: Array | None = None) -> MaterialLanes:
+    kd = scene.mat_kd[mat_id]
+    if uv is not None:
+        kd_tex = scene.mat_kd_tex[mat_id]
+        # Textured Kd: base color is 1 for textured rows, so the product
+        # gives the texture value; untextured lanes sample 1.
+        from ..scene.textures import sample_texture
+
+        kd = kd * sample_texture(scene.textures, kd_tex, uv)
     return MaterialLanes(
         mat_type=scene.mat_type[mat_id],
-        kd=scene.mat_kd[mat_id],
+        kd=kd,
         ks=scene.mat_ks[mat_id],
         kr=scene.mat_kr[mat_id],
         kt=scene.mat_kt[mat_id],

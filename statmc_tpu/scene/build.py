@@ -116,6 +116,8 @@ class SceneTables(NamedTuple):
     mat_rough_u: Any
     mat_rough_v: Any
     mat_sigma: Any
+    mat_kd_tex: Any  # [M] texture id for Kd or -1
+    textures: Any  # TextureTable
     # Lights
     light_kind: Any  # [L]
     light_L: Any  # [L,3] radiance (area/infinite) or intensity (point) or irradiance (distant)
@@ -136,7 +138,7 @@ class SceneTables(NamedTuple):
 
         return SceneTables(*[
             jnp.asarray(x) if isinstance(x, np.ndarray) else x for x in self
-        ])
+        ])  # TextureTable fields are already jnp arrays
 
     @property
     def num_tris(self):
@@ -169,6 +171,7 @@ def _material_row(md: MaterialDesc | None, textures) -> dict:
         rough_u=0.0,
         rough_v=0.0,
         sigma=0.0,
+        kd_tex_name=None,
     )
     if md is None:
         row["mat_type"] = MAT_NONE
@@ -187,6 +190,9 @@ def _material_row(md: MaterialDesc | None, textures) -> dict:
                 tv = tex.params.find_spectrum("value")
                 if tv is not None:
                     return np.asarray(tv, np.float32)
+            if name == "Kd":
+                row["kd_tex_name"] = p.find_one(name)
+                return np.array([1.0, 1.0, 1.0], np.float32)
             return np.array([0.5, 0.5, 0.5], np.float32)
         return np.asarray(default, np.float32)
 
@@ -261,6 +267,34 @@ def _remap_roughness(rough: float) -> float:
 
 
 def build_scene(desc: SceneDescription) -> SceneTables:
+    from .textures import TEX_NONE, TextureTableBuilder
+
+    tex_builder = TextureTableBuilder()
+
+    def resolve_texture(tex_name) -> int:
+        """Texture name -> atlas id (imagemap/checkerboard; -1 else)."""
+        td = desc.textures.get(tex_name)
+        if td is None:
+            return TEX_NONE
+        us = float(td.params.find_one("uscale", 1.0) or 1.0)
+        vs = float(td.params.find_one("vscale", 1.0) or 1.0)
+        if td.tex_class == "imagemap":
+            fn = td.params.find_one("filename")
+            if fn is None:
+                return TEX_NONE
+            path = fn if os.path.isabs(fn) else os.path.join(td.cwd, fn)
+            return tex_builder.add_image(path, us, vs)
+        if td.tex_class == "checkerboard":
+            t1 = td.params.find_spectrum("tex1", np.ones(3, np.float32))
+            t2 = td.params.find_spectrum("tex2", np.zeros(3, np.float32))
+            return tex_builder.add_checker(t1, t2, us, vs)
+        if td.tex_class == "scale":
+            # scale(tex1 * tex2): resolve the textured operand.
+            inner = td.params.find_one("tex1")
+            if isinstance(inner, str):
+                return resolve_texture(inner)
+        return TEX_NONE
+
     tri_p, tri_n, tri_uv, tri_mat, tri_light, tri_hasn = [], [], [], [], [], []
     sph_c, sph_r, sph_mat, sph_light = [], [], [], []
     mat_rows: list[dict] = []
@@ -488,6 +522,10 @@ def build_scene(desc: SceneDescription) -> SceneTables:
         mat_rough_u=np.asarray([r["rough_u"] for r in mat_rows], np.float32),
         mat_rough_v=np.asarray([r["rough_v"] for r in mat_rows], np.float32),
         mat_sigma=np.asarray([r["sigma"] for r in mat_rows], np.float32),
+        mat_kd_tex=np.asarray(
+            [resolve_texture(r.get("kd_tex_name"))
+             if r.get("kd_tex_name") else -1 for r in mat_rows], np.int32),
+        textures=tex_builder.build(),
         light_kind=(np.asarray([l["kind"] for l in lights], np.int32)
                     if lights else np.zeros((0,), np.int32)),
         light_L=(np.stack([l["L"] for l in lights]).astype(np.float32)

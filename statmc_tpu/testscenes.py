@@ -105,12 +105,13 @@ def staircase_proxy(n_steps: int = 24, clutter: int = 60,
     out.append("AttributeBegin\nTranslate -1.5 1.0 -3.0\n")
     out.append('Shape "sphere" "float radius" [1.0]\nAttributeEnd\n')
 
-    # Area light panel on the ceiling.
+    # Area light panel on the ceiling (wound so the geometric normal
+    # points DOWN into the room -- pbrt area lights emit one-sided).
     out.append(
         "AttributeBegin\n"
         'AreaLightSource "diffuse" "rgb L" [18 17 15]\n'
         'Material "matte" "rgb Kd" [0 0 0]\n'
-        'Shape "trianglemesh" "integer indices" [0 2 1 0 3 2] '
+        'Shape "trianglemesh" "integer indices" [0 1 2 0 2 3] '
         '"point P" [-2 9.7 -2  2 9.7 -2  2 9.7 2  -2 9.7 2]\n'
         "AttributeEnd\n"
     )
