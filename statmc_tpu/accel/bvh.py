@@ -58,20 +58,31 @@ class _Node:
 
 
 def build_bvh(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
-              use_native: bool = True) -> FlatBVH:
+              use_native: bool = True, leaf_size: int = LEAF_SIZE) -> FlatBVH:
     """Build over triangles given as (p0, e1, e2) arrays [T,3].
 
     Dispatches to the C++ builder (statmc_tpu/native) when available;
     the numpy path below is the reference implementation and fallback.
     """
     T = p0.shape[0]
-    if use_native and T > 0:
-        from ..native import build_bvh_native
+    global LEAF_SIZE
+    old_leaf = LEAF_SIZE
+    LEAF_SIZE = leaf_size
+    try:
+        if use_native and T > 0:
+            from ..native import build_bvh_native
 
-        res = build_bvh_native(p0, e1, e2, LEAF_SIZE)
-        if res is not None:
-            lo, hi, miss, leaf, slots = res
-            return FlatBVH(lo, hi, miss, leaf, slots)
+            res = build_bvh_native(p0, e1, e2, leaf_size)
+            if res is not None:
+                lo, hi, miss, leaf, slots = res
+                return FlatBVH(lo, hi, miss, leaf, slots)
+        return _build_python(p0, e1, e2)
+    finally:
+        LEAF_SIZE = old_leaf
+
+
+def _build_python(p0, e1, e2) -> FlatBVH:
+    T = p0.shape[0]
     if T == 0:
         return FlatBVH(
             np.zeros((1, 3), np.float32),

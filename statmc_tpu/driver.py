@@ -80,17 +80,25 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
 
     # Crossover measured on v5e: brute-force ray x triangle testing is
     # pure dense VPU work (no gathers, no divergence) and beats the
-    # skip-link BVH walk up to several thousand triangles; the BVH wins
-    # beyond that.  (SURVEY.md §7 hard part #3 -- traversal-shape
-    # optimization is the active perf workstream.)
-    use_bvh = (not force_dense) and scene_np.tri_p0.shape[0] > 4096
+    # traversal up to several hundred triangles; beyond that the packed
+    # one-hot/take BVH walk wins (accel/onehot.py).  (SURVEY.md §7 hard
+    # part #3 -- traversal-shape optimization is the active perf
+    # workstream.)
+    use_bvh = (not force_dense) and scene_np.tri_p0.shape[0] > 512
     bvh = None
     if use_bvh:
         from .accel.bvh import build_bvh
+        from .accel.onehot import OneHotBVH
 
-        bvh = build_bvh(
-            scene_np.tri_p0, scene_np.tri_e1, scene_np.tri_e2
-        ).to_device()
+        leaf = 8  # measured sweet spot on v5e (leaf-size sweep)
+        flat = build_bvh(
+            scene_np.tri_p0, scene_np.tri_e1, scene_np.tri_e2,
+            leaf_size=leaf,
+        )
+        bvh = OneHotBVH.from_flat(
+            flat, scene_np.tri_p0, scene_np.tri_e1, scene_np.tri_e2,
+            leaf_size=leaf,
+        )
 
     dist = make_distribution(scene_np, ecfg.light_strategy)
     return RenderSetup(

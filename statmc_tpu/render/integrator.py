@@ -184,7 +184,7 @@ def trace(
         nee = shading & ~delta_bsdf
 
         u_sel = crng.uniform_1d(keys, b, crng.SLOT_LIGHT_SELECT)
-        light_id, sel_pmf = sample_light_id(dist, u_sel)
+        light_id, sel_pmf = sample_light_id(dist, u_sel, hit.p)
         u_light = crng.uniform_2d(keys, b, crng.SLOT_LIGHT_SAMPLE)
         p_off_wi = hit.p  # offset applied per ray below
 

@@ -173,39 +173,118 @@ def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx) -> Hit:
     )
 
 
+# Chunking bounds: keep every [rays, tris] temporary under ~100 MB so
+# arbitrary resolutions fit HBM (the all-pairs form at 512x512 x 2k tris
+# would otherwise materialize multi-GB intermediates).
+RAY_CHUNK = 32768
+TRI_CHUNK = 512
+
+
+def _pad_to(x, n, fill=0):
+    pad = n - x.shape[0]
+    if pad == 0:
+        return x
+    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+def _dense_closest_tris(scene, o, d, t_best):
+    """Closest triangle hit for one ray chunk, scanning triangle chunks."""
+    T = scene.tri_p0.shape[0]
+    TC = min(TRI_CHUNK, T)
+    n_chunks = (T + TC - 1) // TC
+    Tp = n_chunks * TC
+    p0 = _pad_to(scene.tri_p0, Tp)
+    e1 = _pad_to(scene.tri_e1, Tp)
+    # Padded triangles are degenerate (e2 = 0) -> det ~ 0 -> no hit.
+    e2 = _pad_to(scene.tri_e2, Tp)
+    p0 = p0.reshape(n_chunks, TC, 3)
+    e1 = e1.reshape(n_chunks, TC, 3)
+    e2 = e2.reshape(n_chunks, TC, 3)
+
+    def body(carry, chunk):
+        t_best, best = carry
+        cp0, ce1, ce2, base = chunk
+        t, _, _, hit = ray_triangles(o, d, cp0, ce1, ce2, t_best)
+        t = jnp.where(hit, t, cm.INF)
+        j = jnp.argmin(t, axis=-1)
+        tj = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
+        better = tj < t_best
+        t_best = jnp.where(better, tj, t_best)
+        best = jnp.where(better, base + j.astype(jnp.int32), best)
+        return (t_best, best), None
+
+    best0 = -jnp.ones(o.shape[:1], jnp.int32)
+    bases = (jnp.arange(n_chunks) * TC).astype(jnp.int32)
+    (t_best, best), _ = jax.lax.scan(
+        body, (t_best, best0), (p0, e1, e2, bases)
+    )
+    return t_best, best
+
+
 def intersect_dense(scene: SceneTables, o: Array, d: Array,
                     t_max: Array | None = None) -> Hit:
-    """Closest-hit against every primitive (small scenes / ground truth)."""
+    """Closest-hit against every primitive via chunked all-pairs testing.
+
+    This is the TPU fast path for small/medium scenes: pure dense VPU
+    arithmetic, no gathers, no divergence (cf. accel/traverse.py)."""
     R = o.shape[0]
     if t_max is None:
         t_max = jnp.full((R,), cm.INF)
-    t_best = t_max
-    kind = jnp.zeros((R,), jnp.int32)
-    idx = jnp.zeros((R,), jnp.int32)
 
-    if scene.tri_p0.shape[0] > 0:
-        t, _, _, hit = ray_triangles(
-            o, d, scene.tri_p0, scene.tri_e1, scene.tri_e2, t_best
-        )
-        t = jnp.where(hit, t, cm.INF)
-        j = jnp.argmin(t, axis=-1)
-        tj = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
-        better = tj < t_best
-        t_best = jnp.where(better, tj, t_best)
-        kind = jnp.where(better, PRIM_TRI, kind)
-        idx = jnp.where(better, j.astype(jnp.int32), idx)
+    def one_chunk(args):
+        o_c, d_c, tm_c = args
+        t_best = tm_c
+        kind = jnp.zeros(o_c.shape[:1], jnp.int32)
+        idx = jnp.zeros(o_c.shape[:1], jnp.int32)
+        if scene.tri_p0.shape[0] > 0:
+            tj, best = _dense_closest_tris(scene, o_c, d_c, t_best)
+            better = best >= 0
+            t_best = jnp.where(better, tj, t_best)
+            kind = jnp.where(better, PRIM_TRI, kind)
+            idx = jnp.where(better, jnp.maximum(best, 0), idx)
+        if scene.sph_center.shape[0] > 0:
+            t, hit = ray_spheres(
+                o_c, d_c, scene.sph_center, scene.sph_radius, t_best
+            )
+            t = jnp.where(hit, t, cm.INF)
+            j = jnp.argmin(t, axis=-1)
+            tj = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
+            better = tj < t_best
+            t_best = jnp.where(better, tj, t_best)
+            kind = jnp.where(better, PRIM_SPH, kind)
+            idx = jnp.where(better, j.astype(jnp.int32), idx)
+        return t_best, kind, idx
 
-    if scene.sph_center.shape[0] > 0:
-        t, hit = ray_spheres(o, d, scene.sph_center, scene.sph_radius, t_best)
-        t = jnp.where(hit, t, cm.INF)
-        j = jnp.argmin(t, axis=-1)
-        tj = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
-        better = tj < t_best
-        t_best = jnp.where(better, tj, t_best)
-        kind = jnp.where(better, PRIM_SPH, kind)
-        idx = jnp.where(better, j.astype(jnp.int32), idx)
+    if R <= RAY_CHUNK:
+        t_best, kind, idx = one_chunk((o, d, t_max))
+    else:
+        n = (R + RAY_CHUNK - 1) // RAY_CHUNK
+        Rp = n * RAY_CHUNK
+        o_p = _pad_to(o, Rp).reshape(n, RAY_CHUNK, 3)
+        d_p = _pad_to(d, Rp, fill=1).reshape(n, RAY_CHUNK, 3)
+        tm_p = _pad_to(t_max, Rp).reshape(n, RAY_CHUNK)
+        t_best, kind, idx = jax.lax.map(one_chunk, (o_p, d_p, tm_p))
+        t_best = t_best.reshape(-1)[:R]
+        kind = kind.reshape(-1)[:R]
+        idx = idx.reshape(-1)[:R]
 
     return _assemble_hit(scene, o, d, t_best, kind, idx)
+
+
+def _bvh_intersect(bvh, scene, o, d, t_max, any_hit=False):
+    """Dispatch over accelerator kinds: packed one-hot/take tables
+    (accel/onehot.OneHotBVH) or the legacy FlatBVH gather walk."""
+    if hasattr(bvh, "trav_table"):
+        from ..accel.onehot import intersect_onehot
+
+        return intersect_onehot(bvh, o, d, t_max, any_hit=any_hit)
+    from ..accel.traverse import intersect_bvh
+
+    return intersect_bvh(
+        bvh, scene.tri_p0, scene.tri_e1, scene.tri_e2, o, d, t_max,
+        any_hit=any_hit,
+    )
 
 
 def intersect_scene(scene: SceneTables, o: Array, d: Array,
@@ -213,7 +292,6 @@ def intersect_scene(scene: SceneTables, o: Array, d: Array,
     """Closest hit via BVH for triangles (when provided) + dense spheres."""
     if bvh is None:
         return intersect_dense(scene, o, d, t_max)
-    from ..accel.traverse import intersect_bvh
 
     R = o.shape[0]
     if t_max is None:
@@ -233,9 +311,7 @@ def intersect_scene(scene: SceneTables, o: Array, d: Array,
         idx = jnp.where(better, j.astype(jnp.int32), idx)
 
     if scene.tri_p0.shape[0] > 0:
-        tt, tid, found = intersect_bvh(
-            bvh, scene.tri_p0, scene.tri_e1, scene.tri_e2, o, d, t_best
-        )
+        tt, tid, found = _bvh_intersect(bvh, scene, o, d, t_best)
         better = found & (tt < t_best)
         t_best = jnp.where(better, tt, t_best)
         kind = jnp.where(better, PRIM_TRI, kind)
@@ -249,31 +325,42 @@ def occluded_scene(scene: SceneTables, o: Array, d: Array, t_max: Array,
     """Any-hit (shadow) test via BVH + dense spheres."""
     if bvh is None:
         return occluded_dense(scene, o, d, t_max)
-    from ..accel.traverse import intersect_bvh
 
     blocked = jnp.zeros(o.shape[:1], bool)
     if scene.sph_center.shape[0] > 0:
         _, hit = ray_spheres(o, d, scene.sph_center, scene.sph_radius, t_max)
         blocked |= jnp.any(hit, axis=-1)
     if scene.tri_p0.shape[0] > 0:
-        _, _, found = intersect_bvh(
-            bvh, scene.tri_p0, scene.tri_e1, scene.tri_e2, o, d, t_max,
-            any_hit=True,
-        )
+        _, _, found = _bvh_intersect(bvh, scene, o, d, t_max, any_hit=True)
         blocked |= found
     return blocked
 
 
 def occluded_dense(scene: SceneTables, o: Array, d: Array, t_max: Array
                    ) -> Array:
-    """Any-hit (shadow) test; [R] bool.  t_max excludes the light itself."""
-    blocked = jnp.zeros(o.shape[:1], bool)
-    if scene.tri_p0.shape[0] > 0:
-        _, _, _, hit = ray_triangles(
-            o, d, scene.tri_p0, scene.tri_e1, scene.tri_e2, t_max
-        )
-        blocked |= jnp.any(hit, axis=-1)
-    if scene.sph_center.shape[0] > 0:
-        _, hit = ray_spheres(o, d, scene.sph_center, scene.sph_radius, t_max)
-        blocked |= jnp.any(hit, axis=-1)
-    return blocked
+    """Any-hit (shadow) test; [R] bool.  t_max excludes the light itself.
+    Chunked like intersect_dense to bound temporary memory."""
+    R = o.shape[0]
+
+    def one_chunk(args):
+        o_c, d_c, tm_c = args
+        blocked = jnp.zeros(o_c.shape[:1], bool)
+        if scene.tri_p0.shape[0] > 0:
+            _, best = _dense_closest_tris(scene, o_c, d_c, tm_c)
+            blocked |= best >= 0
+        if scene.sph_center.shape[0] > 0:
+            _, hit = ray_spheres(
+                o_c, d_c, scene.sph_center, scene.sph_radius, tm_c
+            )
+            blocked |= jnp.any(hit, axis=-1)
+        return blocked
+
+    if R <= RAY_CHUNK:
+        return one_chunk((o, d, t_max))
+    n = (R + RAY_CHUNK - 1) // RAY_CHUNK
+    Rp = n * RAY_CHUNK
+    o_p = _pad_to(o, Rp).reshape(n, RAY_CHUNK, 3)
+    d_p = _pad_to(d, Rp, fill=1).reshape(n, RAY_CHUNK, 3)
+    tm_p = _pad_to(t_max, Rp).reshape(n, RAY_CHUNK)
+    blocked = jax.lax.map(one_chunk, (o_p, d_p, tm_p))
+    return blocked.reshape(-1)[:R]
