@@ -225,6 +225,13 @@ class Renderer:
         # while moment states continue accumulating.
         self.film_sum = jnp.zeros_like(self.film_sum)
         self.film_w = jnp.zeros_like(self.film_w)
+        # Per-iteration radiance stats restart every iteration
+        # (statpath.cpp:193-206: itLTiles are re-created per iteration).
+        if E.IT_RADIANCE in self.states:
+            self.states = dict(self.states)
+            self.states[E.IT_RADIANCE] = jax.tree.map(
+                jnp.zeros_like, self.states[E.IT_RADIANCE]
+            )
 
         t0 = time.perf_counter()
         feedback_on = jnp.asarray(i > 1)

@@ -32,6 +32,10 @@ def read_image(path: str) -> np.ndarray:
         if img.ndim == 2:
             img = np.repeat(img[..., None], 3, axis=-1)
         return img
+    if p.endswith(".exr"):
+        from .exr import read_exr
+
+        return read_exr(path)
     raise ValueError(f"unsupported image format: {path}")
 
 

@@ -215,8 +215,10 @@ def trace(
         same_light = hit2.found & (hit2.light_id == light_id)
         li_b_hit = LT.area_light_le(scene, hit2.light_id, hit2.ng, -wi2)
         is_inf_light = scene.light_kind[light_id] == sb.LIGHT_INFINITE
+        # Escaped BSDF-MIS rays toward an infinite light evaluate its Le
+        # by direction (environment map aware).
         li_b_esc = jnp.where(
-            is_inf_light[..., None], scene.light_L[light_id], 0.0
+            is_inf_light[..., None], LT.escaped_radiance(scene, wi2), 0.0
         )
         li_b = jnp.where(same_light[..., None], li_b_hit,
                          jnp.where(hit2.found[..., None], 0.0, li_b_esc))

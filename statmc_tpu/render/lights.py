@@ -57,7 +57,6 @@ def sample_li(scene: sb.SceneTables, light_id: Array, ref_p: Array,
         su0 = jnp.sqrt(jnp.maximum(u2[..., 0], 0.0))
         b0 = 1.0 - su0
         b1 = u2[..., 1] * su0
-        p_tri = p0 + b0[..., None] * 0.0 + b1[..., None] * 0.0  # placeholder
         p_tri = p0 + b0[..., None] * e1 + b1[..., None] * e2
         n_tri = cm.normalize(jnp.cross(e1, e2))
         wi_t = p_tri - ref_p
@@ -155,15 +154,44 @@ def sample_li(scene: sb.SceneTables, light_id: Array, ref_p: Array,
     li_d = L
     dist_d = jnp.full((R,), 2.0) * scene.world_radius
 
-    # ---- INFINITE (constant radiance map) ----------------------------
+    # ---- INFINITE ----------------------------------------------------
     # pbrt samples the (u,v) map -> direction with
-    # pdf = map_pdf / (2 pi^2 sin(theta)); constant map => map_pdf = 1.
-    theta = u2[..., 1] * jnp.pi
-    phi_i = u2[..., 0] * 2.0 * jnp.pi
+    # pdf = map_pdf / (2 pi^2 sin(theta)) (lights/infinite.cpp:Sample_Li);
+    # constant map => map_pdf = 1.  With an environment image the (u,v)
+    # draw importance-samples the luminance*sin(theta) Distribution2D.
+    has_env = int(scene.env_light_id) >= 0
+    if has_env:
+        He, We = scene.env_map.shape[:2]
+        vrow = jnp.searchsorted(scene.env_marginal_cdf, u2[..., 1],
+                                side="right")
+        vrow = jnp.minimum(vrow, He - 1).astype(jnp.int32)
+        cond = scene.env_cond_cdf[vrow]  # [R, We]
+        ucol = jax.vmap(
+            lambda row, uu: jnp.searchsorted(row, uu, side="right")
+        )(cond, u2[..., 0])
+        ucol = jnp.minimum(ucol, We - 1).astype(jnp.int32)
+        uu = (ucol.astype(jnp.float32) + 0.5) / We
+        vv = (vrow.astype(jnp.float32) + 0.5) / He
+        map_pdf = scene.env_pdf_uv[vrow, ucol]
+        li_env = scene.env_map[vrow, ucol]
+    else:
+        uu, vv = u2[..., 0], u2[..., 1]
+        map_pdf = jnp.ones((R,))
+        li_env = jnp.broadcast_to(L, (R, 3))
+    theta = vv * jnp.pi
+    phi_i = uu * 2.0 * jnp.pi
     st = jnp.sin(theta)
-    wi_inf = cm.spherical_direction(st, jnp.cos(theta), phi_i)
+    wi_light = cm.spherical_direction(st, jnp.cos(theta), phi_i)
+    if has_env:
+        # Light-to-world: invert the stored world-to-light rotation.
+        l2w = jnp.linalg.inv(scene.env_world_to_light)
+        wi_inf = cm.transform_vector(l2w, wi_light)
+    else:
+        wi_inf = wi_light
     pdf_inf = jnp.where(
-        st > 1e-7, 1.0 / (2.0 * jnp.pi * jnp.pi * jnp.maximum(st, 1e-7)), 0.0
+        st > 1e-7,
+        map_pdf / (2.0 * jnp.pi * jnp.pi * jnp.maximum(st, 1e-7)),
+        0.0,
     )
     dist_inf = jnp.full((R,), 2.0) * scene.world_radius
 
@@ -191,7 +219,7 @@ def sample_li(scene: sb.SceneTables, light_id: Array, ref_p: Array,
     li = jnp.where(is_pt[..., None], li_p, li)
     li = jnp.where(is_spot[..., None], li_spot, li)
     li = jnp.where(is_dist[..., None], li_d, li)
-    li = jnp.where(is_inf[..., None], L, li)
+    li = jnp.where(is_inf[..., None], li_env, li)
 
     dist = jnp.where(is_tri, dist_t, 0.0)
     dist = jnp.where(is_sph, dist_s, dist)
@@ -246,10 +274,25 @@ def pdf_li(scene: sb.SceneTables, light_id: Array, ref_p: Array, wi: Array,
     else:
         pdf_sph = jnp.zeros_like(pdf_area)
 
-    theta = jnp.arccos(jnp.clip(wi[..., 2], -1.0, 1.0))
+    # Infinite light: direction -> (u,v) -> map pdf (infinite.cpp:Pdf_Li).
+    if int(scene.env_light_id) >= 0:
+        wl = cm.transform_vector(scene.env_world_to_light, wi)
+        theta = jnp.arccos(jnp.clip(wl[..., 2], -1.0, 1.0))
+        phi = jnp.arctan2(wl[..., 1], wl[..., 0])
+        uu = jnp.mod(phi / (2 * jnp.pi), 1.0)
+        vv = jnp.clip(theta / jnp.pi, 0.0, 1.0 - 1e-6)
+        He, We = scene.env_map.shape[:2]
+        vrow = jnp.clip((vv * He).astype(jnp.int32), 0, He - 1)
+        ucol = jnp.clip((uu * We).astype(jnp.int32), 0, We - 1)
+        map_pdf = scene.env_pdf_uv[vrow, ucol]
+    else:
+        theta = jnp.arccos(jnp.clip(wi[..., 2], -1.0, 1.0))
+        map_pdf = jnp.ones_like(theta)
     st = jnp.sin(theta)
     pdf_inf = jnp.where(
-        st > 1e-7, 1.0 / (2.0 * jnp.pi * jnp.pi * jnp.maximum(st, 1e-7)), 0.0
+        st > 1e-7,
+        map_pdf / (2.0 * jnp.pi * jnp.pi * jnp.maximum(st, 1e-7)),
+        0.0,
     )
 
     pdf = jnp.where(kind == sb.LIGHT_AREA_TRI, pdf_area, 0.0)
@@ -259,14 +302,29 @@ def pdf_li(scene: sb.SceneTables, light_id: Array, ref_p: Array, wi: Array,
 
 
 def escaped_radiance(scene: sb.SceneTables, d: Array) -> Array:
-    """Sum of infinite lights' Le for escaped rays (constant maps)."""
+    """Sum of infinite lights' Le for escaped rays
+    (InfiniteAreaLight::Le: equirect map lookup by direction)."""
     if scene.light_kind.shape[0] == 0:
         return jnp.zeros(d.shape[:-1] + (3,))
     inf_mask = scene.light_kind == sb.LIGHT_INFINITE
     total = jnp.sum(
         jnp.where(inf_mask[:, None], scene.light_L, 0.0), axis=0
     )
-    return jnp.broadcast_to(total, d.shape[:-1] + (3,))
+    out = jnp.broadcast_to(total, d.shape[:-1] + (3,))
+    if int(scene.env_light_id) >= 0:
+        wl = cm.transform_vector(scene.env_world_to_light, cm.normalize(d))
+        theta = jnp.arccos(jnp.clip(wl[..., 2], -1.0, 1.0))
+        phi = jnp.arctan2(wl[..., 1], wl[..., 0])
+        uu = jnp.mod(phi / (2 * jnp.pi), 1.0)
+        vv = jnp.clip(theta / jnp.pi, 0.0, 1.0 - 1e-6)
+        He, We = scene.env_map.shape[:2]
+        vrow = jnp.clip((vv * He).astype(jnp.int32), 0, He - 1)
+        ucol = jnp.clip((uu * We).astype(jnp.int32), 0, We - 1)
+        # env_light_id's constant L was folded into the map; other
+        # constant infinite lights (if any) still add their L above
+        # because the map light's L was reset to 1... subtract it:
+        out = out - 1.0 + scene.env_map[vrow, ucol]
+    return out
 
 
 def area_light_le(scene: sb.SceneTables, light_id: Array, ng: Array,

@@ -129,6 +129,13 @@ class SceneTables(NamedTuple):
     light_area: Any  # [L] total surface area (area lights)
     light_tri_index: Any  # [LT] flat triangle ids for all AREA_TRI lights
     light_tri_cdf: Any  # [LT] per-light normalized CDF over triangle area
+    # Environment map (first infinite light with an image; 1x1 black else)
+    env_map: Any  # [He,We,3] radiance texels (already scaled by L*scale)
+    env_marginal_cdf: Any  # [He] row-marginal CDF over luminance*sin(theta)
+    env_cond_cdf: Any  # [He,We] per-row conditional CDF
+    env_pdf_uv: Any  # [He,We] pdf over (u,v) in [0,1]^2
+    env_world_to_light: Any  # [4,4]
+    env_light_id: Any  # int light id using the map, or -1
     # World bound
     world_center: Any
     world_radius: Any
@@ -414,11 +421,18 @@ def build_scene(desc: SceneDescription) -> SceneTables:
         elif ld.light_type == "infinite":
             L = p.find_spectrum("L", np.ones(3, np.float32))
             scale = p.find_spectrum("scale", np.ones(3, np.float32))
-            # Environment maps need the (undownloaded) asset; constant L.
-            lights.append(dict(kind=LIGHT_INFINITE, L=L * scale, prim=0,
-                               count=0, pos=np.zeros(3, np.float32),
-                               aux=np.zeros(3, np.float32),
-                               par=np.zeros(2, np.float32), area=0.0, tris=[]))
+            mapname = p.find_one("mapname")
+            rec = dict(kind=LIGHT_INFINITE, L=L * scale, prim=0,
+                       count=0, pos=np.zeros(3, np.float32),
+                       aux=np.zeros(3, np.float32),
+                       par=np.zeros(2, np.float32), area=0.0, tris=[])
+            if mapname:
+                path = mapname if os.path.isabs(mapname) else os.path.join(
+                    ld.cwd, mapname)
+                if os.path.exists(path):
+                    rec["env_path"] = path
+                    rec["env_l2w"] = l2w
+            lights.append(rec)
         elif ld.light_type == "spot":
             I = p.find_spectrum("I", np.ones(3, np.float32))
             scale = p.find_spectrum("scale", np.ones(3, np.float32))
@@ -484,6 +498,39 @@ def build_scene(desc: SceneDescription) -> SceneTables:
                 0.5 * np.linalg.norm(np.cross(p1[t] - p0[t], p2[t] - p0[t]))
             )
 
+    # Environment map tables (InfiniteAreaLight, src/lights/infinite.cpp:
+    # luminance*sin(theta)-weighted Distribution2D over the equirect map).
+    env_map = np.zeros((1, 1, 3), np.float32)
+    env_marg = np.ones((1,), np.float32)
+    env_cond = np.ones((1, 1), np.float32)
+    env_pdf = np.ones((1, 1), np.float32)
+    env_w2l = np.eye(4, dtype=np.float32)
+    env_lid = -1
+    for li, l in enumerate(lights):
+        if l["kind"] == LIGHT_INFINITE and "env_path" in l:
+            from ..io.image import read_image
+
+            try:
+                img = read_image(l["env_path"]).astype(np.float32)
+            except (OSError, ValueError):
+                continue
+            img = img * l["L"][None, None, :]
+            He, We = img.shape[:2]
+            lum = img @ np.array([0.212671, 0.715160, 0.072169], np.float32)
+            theta = (np.arange(He) + 0.5) / He * np.pi
+            w = lum * np.sin(theta)[:, None] + 1e-12
+            marg = w.sum(axis=1)
+            env_pdf = (w / w.sum() * (He * We)).astype(np.float32)  # pdf(u,v)
+            env_marg = (np.cumsum(marg) / marg.sum()).astype(np.float32)
+            env_cond = (np.cumsum(w, axis=1)
+                        / w.sum(axis=1, keepdims=True)).astype(np.float32)
+            env_map = img
+            env_w2l = np.linalg.inv(
+                l["env_l2w"].astype(np.float64)).astype(np.float32)
+            env_lid = li
+            l["L"] = np.ones(3, np.float32)  # folded into the map
+            break
+
     if not mat_rows:
         mat_rows.append(_material_row(None, desc.textures))
 
@@ -544,6 +591,12 @@ def build_scene(desc: SceneDescription) -> SceneTables:
         if lights else np.zeros((0,), np.float32),
         light_tri_index=np.asarray(lt_index, np.int32),
         light_tri_cdf=np.asarray(lt_cdf, np.float32),
+        env_map=env_map,
+        env_marginal_cdf=env_marg,
+        env_cond_cdf=env_cond,
+        env_pdf_uv=env_pdf,
+        env_world_to_light=env_w2l,
+        env_light_id=int(env_lid),
         world_center=wcenter.astype(np.float32),
         world_radius=np.float32(wradius),
     )
