@@ -50,6 +50,7 @@ class RenderSetup:
     filename: str
     base_seed: int = 0
     use_bvh: bool = True
+    pixel_mask: Any = None  # [P] bool crop (integrator pixelbounds)
 
 
 def prepare(desc: SceneDescription, base_seed: int = 0,
@@ -78,6 +79,16 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
     fov = float(desc.camera_params.find_one("fov", 90.0))
     cam = CAM.make_perspective(desc.camera_to_world, fov, width, height)
 
+    # pixelbounds crop (debug feature; statpath.cpp:967-980): pixels
+    # outside the bounds trace but contribute nothing.
+    pb = desc.integrator_params.find_ints("pixelbounds")
+    pixel_mask = None
+    if pb is not None and len(pb) == 4:
+        xs = np.arange(width * height) % width
+        ys = np.arange(width * height) // width
+        pixel_mask = ((xs >= pb[0]) & (xs < pb[1])
+                      & (ys >= pb[2]) & (ys < pb[3]))
+
     # Crossover measured on v5e: brute-force ray x triangle testing is
     # pure dense VPU work (no gathers, no divergence) and beats the
     # traversal up to several hundred triangles; beyond that the packed
@@ -105,6 +116,8 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
         scene=scene_np.to_device(), bvh=bvh, dist=dist, cam=cam,
         icfg=icfg, ecfg=ecfg, width=width, height=height,
         filename=filename, base_seed=base_seed, use_bvh=use_bvh,
+        pixel_mask=jnp.asarray(pixel_mask) if pixel_mask is not None
+        else None,
     )
 
 
@@ -132,10 +145,16 @@ def make_sample_fn(setup: RenderSetup):
             avg_ls, win_b, win_l, feedback_on,
         )
         L = out.ls[:, 0, :]
-        film_sum = film_sum + L
-        film_w = film_w + 1.0
+        if setup.pixel_mask is not None:
+            m = setup.pixel_mask.astype(jnp.float32)
+            film_sum = film_sum + L * m[:, None]
+            film_w = film_w + m
+            states = E.update_states(states, ecfg, out, setup.pixel_mask)
+        else:
+            film_sum = film_sum + L
+            film_w = film_w + 1.0
+            states = E.update_states(states, ecfg, out)
         ray_total = ray_total + jnp.sum(out.n_rays)
-        states = E.update_states(states, ecfg, out)
         return states, film_sum, film_w, ray_total
 
     return sample_step

@@ -241,12 +241,15 @@ def stat_sample(x_rgb, n_channels: int):
     return spec.luminance(x_rgb)[..., None]
 
 
-def update_states(states: dict, cfg: EstimatorConfig, out, it_reset=None):
+def update_states(states: dict, cfg: EstimatorConfig, out,
+                  mask=None):
     """Feed one traced sample batch into all enabled moment streams.
 
     `out` is a render SampleOutput; mirrors the per-sample adds at
-    statpath.cpp:357-371.
+    statpath.cpp:357-371.  `mask` [P] restricts updates to pixels inside
+    the integrator's pixelbounds crop (statpath.cpp:263).
     """
+    bmask = None if mask is None else mask[None]  # broadcast bounce axis
     new = dict(states)
     c = cfg.configs[RADIANCE]
     if c.enable:
@@ -254,20 +257,22 @@ def update_states(states: dict, cfg: EstimatorConfig, out, it_reset=None):
         s = stat_sample(out.ls, c.n_channels)  # [P,NL,C]
         s = jnp.swapaxes(s, 0, 1)[c.bounce_start:c.bounce_end]
         upd = moments.update_transform if c.transform else moments.update
-        new[RADIANCE] = upd(states[RADIANCE], s)
+        new[RADIANCE] = upd(states[RADIANCE], s, bmask)
     c = cfg.configs[IT_RADIANCE]
     if c.enable:
         s = jnp.swapaxes(out.ls, 0, 1)[c.bounce_start:c.bounce_end]
-        new[IT_RADIANCE] = moments.update(states[IT_RADIANCE], s)
+        new[IT_RADIANCE] = moments.update(states[IT_RADIANCE], s, bmask)
     cb = cfg.configs[MIS_BSDF_WIN_RATE]
     cl = cfg.configs[MIS_LIGHT_WIN_RATE]
     if cb.enable and cl.enable:
         sb_ = jnp.swapaxes(out.mis_bsdf, 0, 1)[..., None]
         sl_ = jnp.swapaxes(out.mis_light, 0, 1)[..., None]
         new[MIS_BSDF_WIN_RATE] = moments.update(
-            states[MIS_BSDF_WIN_RATE], sb_[cb.bounce_start:cb.bounce_end])
+            states[MIS_BSDF_WIN_RATE],
+            sb_[cb.bounce_start:cb.bounce_end], bmask)
         new[MIS_LIGHT_WIN_RATE] = moments.update(
-            states[MIS_LIGHT_WIN_RATE], sl_[cl.bounce_start:cl.bounce_end])
+            states[MIS_LIGHT_WIN_RATE],
+            sl_[cl.bounce_start:cl.bounce_end], bmask)
     for t, val in (
         (STAT_MATERIAL_ID, out.mat_id[..., None]),
         (STAT_DEPTH, out.depth[..., None]),
@@ -276,7 +281,7 @@ def update_states(states: dict, cfg: EstimatorConfig, out, it_reset=None):
     ):
         c = cfg.configs[t]
         if c.enable:
-            new[t] = moments.update(states[t], val[None])
+            new[t] = moments.update(states[t], val[None], bmask)
     return new
 
 
