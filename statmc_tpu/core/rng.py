@@ -60,3 +60,60 @@ def uniform_2d(keys: Array, bounce, slot: int) -> Array:
         keys
     )
     return jax.vmap(lambda k: jax.random.uniform(k, (2,)))(ks)
+
+
+# ---------------------------------------------------------------------------
+# Low-discrepancy camera jitter: scrambled (0,2)-sequence.
+#
+# pbrt's zerotwosequence/stratified samplers stratify the film jitter
+# (src/samplers/zerotwosequence.cpp, core/lowdiscrepancy.h).  In the
+# counter-addressed design the equivalent is a per-pixel-scrambled
+# (0,2)-sequence indexed by the global sample number: dimension 1 is the
+# bit-reversed van der Corput sequence, dimension 2 the classic Sobol'
+# second direction set, both XOR-scrambled with pixel-derived bits.
+# ---------------------------------------------------------------------------
+
+
+def _vdc_bits(n: Array) -> Array:
+    """Bit-reversed 32-bit integers (vectorized van der Corput)."""
+    n = n.astype(jnp.uint32)
+    n = ((n << 16) | (n >> 16)) & jnp.uint32(0xFFFFFFFF)
+    n = ((n & jnp.uint32(0x00FF00FF)) << 8) | ((n & jnp.uint32(0xFF00FF00)) >> 8)
+    n = ((n & jnp.uint32(0x0F0F0F0F)) << 4) | ((n & jnp.uint32(0xF0F0F0F0)) >> 4)
+    n = ((n & jnp.uint32(0x33333333)) << 2) | ((n & jnp.uint32(0xCCCCCCCC)) >> 2)
+    n = ((n & jnp.uint32(0x55555555)) << 1) | ((n & jnp.uint32(0xAAAAAAAA)) >> 1)
+    return n
+
+
+def _sobol2_bits(n: Array) -> Array:
+    """Second Sobol' dimension (direction numbers v, v^=v>>1)."""
+    n = n.astype(jnp.uint32)
+    result = jnp.zeros_like(n)
+    v = jnp.full_like(n, jnp.uint32(1 << 31))
+
+    def body(i, carry):
+        n, v, result = carry
+        result = jnp.where((n & 1) == 1, result ^ v, result)
+        return n >> 1, v ^ (v >> 1), result
+
+    _, _, result = jax.lax.fori_loop(0, 32, body, (n, v, result))
+    return result
+
+
+def pixel_scramble(key: Array, pixel_ids: Array) -> Array:
+    """Per-pixel scramble words independent of the sample index."""
+    return jax.vmap(lambda pid: jax.random.fold_in(key, pid))(pixel_ids)
+
+
+def ld_camera_jitter(keys: Array, sample_index) -> Array:
+    """[P,2] (0,2)-sequence film jitter, per-pixel scrambled."""
+    # Per-pixel scramble words from the pixel keys (already folded with
+    # the base seed but NOT the sample index -- the scramble must be
+    # constant along the sequence).
+    scr = keys.astype(jnp.uint32)
+    s0 = scr[:, 0]
+    s1 = scr[:, 1] if scr.shape[1] > 1 else scr[:, 0] ^ jnp.uint32(0x9E3779B9)
+    n = jnp.broadcast_to(jnp.uint32(sample_index), s0.shape)
+    u0 = (_vdc_bits(n) ^ s0).astype(jnp.float32) * (1.0 / 4294967296.0)
+    u1 = (_sobol2_bits(n) ^ s1).astype(jnp.float32) * (1.0 / 4294967296.0)
+    return jnp.stack([u0, u1], axis=-1)

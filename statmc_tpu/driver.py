@@ -51,6 +51,7 @@ class RenderSetup:
     base_seed: int = 0
     use_bvh: bool = True
     pixel_mask: Any = None  # [P] bool crop (integrator pixelbounds)
+    sampler: str = "random"
 
 
 def prepare(desc: SceneDescription, base_seed: int = 0,
@@ -118,6 +119,7 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
         filename=filename, base_seed=base_seed, use_bvh=use_bvh,
         pixel_mask=jnp.asarray(pixel_mask) if pixel_mask is not None
         else None,
+        sampler=desc.sampler_name,
     )
 
 
@@ -134,7 +136,14 @@ def make_sample_fn(setup: RenderSetup):
         px = (pixel_ids % W).astype(jnp.float32)
         py = (pixel_ids // W).astype(jnp.float32)
         keys = crng.pixel_keys(base_key, pixel_ids, sample_index)
-        u_cam = crng.uniform_2d(keys, 0, crng.SLOT_CAMERA)
+        if setup.sampler in ("stratified", "02sequence", "lowdiscrepancy",
+                            "sobol", "halton", "maxmindist"):
+            # Low-discrepancy film jitter: scrambled (0,2)-sequence over
+            # the global sample index (pbrt zerotwosequence-equivalent).
+            scr = crng.pixel_scramble(base_key, pixel_ids)
+            u_cam = crng.ld_camera_jitter(scr, sample_index)
+        else:
+            u_cam = crng.uniform_2d(keys, 0, crng.SLOT_CAMERA)
         # Box filter, radius 0.5: each sample lands in its own pixel
         # with weight 1 (api.cpp:1703-1727 enforces this for statpath;
         # film accumulation degenerates to per-pixel averaging).
