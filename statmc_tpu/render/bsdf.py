@@ -292,6 +292,57 @@ def _microfacet_pdf(wo, wi, ax, ay):
     return jnp.where(ok, pdf, 0.0)
 
 
+def _microfacet_transmission_f(wo, wi, ax, ay, kt, eta_mat):
+    """MicrofacetTransmission::f (reflection.cpp), radiance mode.
+
+    eta_mat: [R] material IOR (assumes outside medium is vacuum)."""
+    same = same_hemisphere(wo, wi)
+    co = cos_theta(wo)
+    ci = cos_theta(wi)
+    eta = jnp.where(co > 0, eta_mat, 1.0 / eta_mat)
+    wh = cm.normalize(wo + wi * eta[..., None])
+    wh = jnp.where((wh[..., 2] < 0)[..., None], -wh, wh)
+    wo_dot_wh = cm.dot(wo, wh)
+    wi_dot_wh = cm.dot(wi, wh)
+    # Both directions must be on opposite sides of the microfacet.
+    valid = ~same & (wo_dot_wh * wi_dot_wh < 0) \
+        & (jnp.abs(co) > 1e-7) & (jnp.abs(ci) > 1e-7)
+    F = fresnel_dielectric(wo_dot_wh, 1.0, eta_mat)
+    d = tr_d(wh, ax, ay)
+    g = tr_g(wo, wi, ax, ay)
+    sqrt_denom = wo_dot_wh + eta * wi_dot_wh
+    factor = 1.0 / eta  # radiance transport scaling
+    # ci*co is negative for transmission; pbrt takes |...| of the whole
+    # quotient -- guard only the magnitude.
+    denom = ci * co * sqrt_denom * sqrt_denom
+    denom = jnp.sign(denom) * jnp.maximum(jnp.abs(denom), 1e-9)
+    f = (
+        kt * ((1.0 - F) * jnp.abs(
+            d * g * eta * eta * jnp.abs(wi_dot_wh) * jnp.abs(wo_dot_wh)
+            * factor * factor / denom
+        ))[..., None]
+    )
+    return jnp.where(valid[..., None], f, 0.0)
+
+
+def _microfacet_transmission_pdf(wo, wi, ax, ay, eta_mat):
+    same = same_hemisphere(wo, wi)
+    co = cos_theta(wo)
+    eta = jnp.where(co > 0, eta_mat, 1.0 / eta_mat)
+    wh = cm.normalize(wo + wi * eta[..., None])
+    wh = jnp.where((wh[..., 2] < 0)[..., None], -wh, wh)
+    wo_dot_wh = cm.dot(wo, wh)
+    wi_dot_wh = cm.dot(wi, wh)
+    valid = ~same & (wo_dot_wh * wi_dot_wh < 0)
+    sqrt_denom = wo_dot_wh + eta * wi_dot_wh
+    dwh_dwi = jnp.abs(
+        eta * eta * wi_dot_wh
+        / jnp.maximum(sqrt_denom * sqrt_denom, 1e-12)
+    )
+    pdf = tr_pdf_wh(wh, ax, ay) * dwh_dwi
+    return jnp.where(valid, pdf, 0.0)
+
+
 def _fresnel_blend_f(kd, ks, wo, wi, ax, ay):
     """FresnelBlend::f (reflection.cpp, Ashikhmin-Shirley)."""
     co, ci = abs_cos_theta(wo), abs_cos_theta(wi)
@@ -366,8 +417,24 @@ def evaluate(m: MaterialLanes, wo: Array, wi: Array) -> tuple[Array, Array]:
     # Reflection-only lobes vanish under the surface.
     f = jnp.where(refl[..., None], f, 0.0)
     pdf = jnp.where(refl, pdf, 0.0)
-    # Rough glass evaluates as pure transmission TODO; smooth glass/mirror
-    # are delta -> f = 0 here.
+
+    # Rough glass: microfacet reflection (Fresnel-weighted) +
+    # microfacet transmission (materials/glass.cpp rough path).
+    rough_glass = (t == sb.MAT_GLASS) & (m.rough_u >= 1e-4)
+    eta0 = m.eta[..., 0]
+    F_wh = fresnel_dielectric(cm.dot(wi, wh), 1.0, eta0)[..., None]
+    rg_refl = _microfacet_reflection_f(wo, wi, ax, ay, F_wh * m.kr)
+    rg_refl = jnp.where(refl[..., None], rg_refl, 0.0)
+    rg_trans = _microfacet_transmission_f(wo, wi, ax, ay, m.kt, eta0)
+    rg_f = rg_refl + rg_trans
+    rg_pdf = 0.5 * (
+        jnp.where(refl, mf_pdf, 0.0)
+        + _microfacet_transmission_pdf(wo, wi, ax, ay, eta0)
+    )
+    f = jnp.where(rough_glass[..., None], rg_f, f)
+    pdf = jnp.where(rough_glass, rg_pdf, pdf)
+
+    # Smooth glass/mirror are delta -> f = 0 here.
     delta = is_specular(m)
     return jnp.where(delta[..., None], 0.0, f), jnp.where(delta, 0.0, pdf)
 
@@ -422,12 +489,27 @@ def sample(m: MaterialLanes, wo: Array, u2: Array, uc: Array) -> BSDFSample:
     glass = (t == sb.MAT_GLASS) & (m.rough_u < 1e-4)
     rough_glass = (t == sb.MAT_GLASS) & (m.rough_u >= 1e-4)
 
-    choose_mf = two_lobe & (uc < 0.5) | metal | rough_glass
+    # Rough glass refraction through the sampled microfacet normal.
+    ci_wh = cm.dot(wo, wh)
+    eta_rel_wh = jnp.where(ci_wh > 0, 1.0 / m.eta[..., 0], m.eta[..., 0])
+    wh_f = jnp.where((ci_wh < 0)[..., None], -wh, wh)
+    ci_whf = jnp.abs(ci_wh)
+    s2t_wh = jnp.maximum(0.0, 1.0 - ci_whf * ci_whf) * eta_rel_wh**2
+    ct_wh = jnp.sqrt(jnp.maximum(0.0, 1.0 - s2t_wh))
+    wi_mf_refr = (
+        -wo * eta_rel_wh[..., None]
+        + (eta_rel_wh * ci_whf - ct_wh)[..., None] * wh_f
+    )
+
+    choose_mf = two_lobe & (uc < 0.5) | metal \
+        | (rough_glass & (uc < 0.5))
+    choose_mf_refr = rough_glass & (uc >= 0.5)
     choose_refl = glass & (uc < F) | mirror
     choose_refr = glass & (uc >= F)
 
     wi = wi_cos
     wi = jnp.where(choose_mf[..., None], wi_mf, wi)
+    wi = jnp.where(choose_mf_refr[..., None], wi_mf_refr, wi)
     wi = jnp.where(choose_refl[..., None], wi_spec, wi)
     wi = jnp.where(choose_refr[..., None], wi_refr, wi)
 
