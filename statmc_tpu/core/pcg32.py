@@ -98,11 +98,14 @@ def uniform_uint32(s: PCG32State) -> tuple[Array, PCG32State]:
     return _output(s.state_hi, s.state_lo), ns
 
 
+ONE_MINUS_EPSILON = float.fromhex("0x1.fffffep-1")  # pbrt.h
+
+
 def uniform_float(s: PCG32State) -> tuple[Array, PCG32State]:
-    """rng.h:UniformFloat = min(1-eps, u32 * 2^-32)."""
+    """rng.h:UniformFloat = min(OneMinusEpsilon, u32 * 2^-32)."""
     u, ns = uniform_uint32(s)
     f = jnp.minimum(
-        jnp.float32(1.0 - 1e-7) * 0 + jnp.float32(0x1.FFFFFEp-1),
+        jnp.float32(ONE_MINUS_EPSILON),
         u.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10),
     )
     return f, ns

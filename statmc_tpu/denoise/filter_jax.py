@@ -65,6 +65,7 @@ def stat_filter(
     radius: int,
     film_img: Array | None = None,  # [H,W,3] actual film (Radiance b0)
     moon_ci: bool = False,
+    valid: Array | None = None,  # [H,W] 0/1 neighbor validity (halo mask)
 ):
     """Returns (mean_corr, discriminator, film_mean_f[, film_f])."""
     H, W, C = mean.shape
@@ -90,7 +91,8 @@ def stat_filter(
     mc_p = _pad(mean_corr, r)
     d2_p = _pad(disc * disc, r)
     fm_p = _pad(film_mean, r)
-    valid_p = _pad(jnp.ones((H, W, 1)), r)
+    base_valid = jnp.ones((H, W, 1)) if valid is None else valid[..., None]
+    valid_p = _pad(base_valid, r)
     G = gbufs.shape[0]
     gb_p = jnp.stack([_pad(gbufs[g], r) for g in range(G)]) \
         if G else jnp.zeros((0, H + 2 * r, W + 2 * r, 3))

@@ -229,7 +229,15 @@ class Renderer:
 
     @property
     def film_mean(self):
-        return self.film_sum / jnp.maximum(self.film_w, 1.0)[..., None]
+        """Mean film image with pbrt's XYZ round trip.
+
+        pbrt accumulates film samples as XYZ and converts to RGB in
+        UpdateImage (core/film.cpp:188-225); for RGBSpectrum the
+        composition is a near-identity linear map whose f32 residue is
+        visible in bit-level comparisons, so we reproduce it.
+        """
+        rgb = self.film_sum / jnp.maximum(self.film_w, 1.0)[..., None]
+        return spec.xyz_to_rgb(spec.rgb_to_xyz(rgb))
 
     def iteration_spp(self, i: int) -> tuple[int, int]:
         """(sample_start, n_samples) for iteration i (1-based);

@@ -134,6 +134,89 @@ def make_sharded_chunk_fn(setup: RenderSetup, mesh: Mesh):
     return jax.jit(wrapper, static_argnames=("n_samples",))
 
 
+def make_sharded_filter(mesh: Mesh, height: int, width: int, channels: int,
+                        n_gbuf: int, radius: int, ds_factor, gb_factors,
+                        alpha: float = 0.005):
+    """Row-sharded statistical filter with ppermute halo exchange.
+
+    The film/moment buffers live row-sharded over the "px" axis; the
+    window filter needs `radius` rows of halo from each neighbor.  Each
+    device ships its boundary slabs up/down the axis with
+    jax.lax.ppermute (zeros beyond the global edges), runs the filter on
+    the extended slab, and keeps the center rows.  This is the ICI-native
+    replacement for the reference's single-GPU whole-frame kernel launch
+    (estimator.cpp:427-489).
+
+    All [P]-shaped field arrays must reshape to [H, W, C] with H divisible
+    by the "px" axis size and local height >= radius.
+    """
+    from ..denoise.filter_jax import stat_filter
+    from ..denoise.ttest import quantile_table
+
+    n_px = mesh.shape["px"]
+    assert height % n_px == 0, "height must divide the px axis"
+    hl = height // n_px
+    assert hl >= radius, "local slab shorter than the filter radius"
+    tq = jnp.asarray(quantile_table(alpha))
+    r = radius
+
+    def exchange(x):
+        """x: [hl, W, C] per device -> [hl + 2r, W, C] with halos."""
+        idx = jax.lax.axis_index("px")
+        n = n_px
+        # Rows I send down to the next device (they become its top halo).
+        from_prev = jax.lax.ppermute(
+            x[-r:], "px", [(i, i + 1) for i in range(n - 1)]
+        )
+        from_next = jax.lax.ppermute(
+            x[:r], "px", [(i + 1, i) for i in range(n - 1)]
+        )
+        return jnp.concatenate([from_prev, x, from_next], axis=0)
+
+    def local_filter(n_img, mean, m2, m3, fm, gbufs, film):
+        """Per-device body (runs under shard_map).
+
+        n_img: [hl,W]; mean/m2/m3/fm: [hl,W,C]; gbufs: [G,hl,W,3];
+        film: [hl,W,3] or None-placeholder (zeros)."""
+        n_e = exchange(n_img[..., None])[..., 0]
+        mean_e = exchange(mean)
+        m2_e = exchange(m2)
+        m3_e = exchange(m3)
+        fm_e = exchange(fm)
+        gb_e = (jnp.stack([exchange(gbufs[g]) for g in range(n_gbuf)])
+                if n_gbuf else jnp.zeros((0, hl + 2 * r, width, 3)))
+        film_e = exchange(film)
+        # Validity: ones locally; ppermute leaves zeros past the global
+        # image edges so edge halos carry zero weight.
+        valid_e = exchange(jnp.ones((hl, width, 1)))[..., 0]
+        res = stat_filter(
+            n_e, mean_e, m2_e, m3_e, fm_e, gb_e,
+            jnp.asarray(gb_factors, jnp.float32),
+            jnp.asarray(ds_factor, jnp.float32), tq, radius,
+            film_img=film_e, valid=valid_e,
+        )
+        return (
+            res["mean_corr"][r : r + hl],
+            res["discriminator"][r : r + hl],
+            res["film_mean_f"][r : r + hl],
+            res["film_f"][r : r + hl],
+        )
+
+    spec_in = (
+        P("px", None), P("px", None, None), P("px", None, None),
+        P("px", None, None), P("px", None, None),
+        P(None, "px", None, None), P("px", None, None),
+    )
+    spec_out = (
+        P("px", None, None), P("px", None, None), P("px", None, None),
+        P("px", None, None),
+    )
+    return jax.jit(shard_map(
+        local_filter, mesh=mesh, in_specs=spec_in, out_specs=spec_out,
+        check_rep=False,
+    ))
+
+
 def replicate_scene(setup: RenderSetup, mesh: Mesh) -> RenderSetup:
     """Replicate the scene tables + BVH on every device of the mesh."""
     repl = NamedSharding(mesh, P())

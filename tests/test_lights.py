@@ -60,7 +60,7 @@ def test_triangle_light_irradiance():
     sc = _scene(
         'AttributeBegin\nAreaLightSource "diffuse" "rgb L" [2 2 2]\n'
         'Material "matte" "rgb Kd" [0 0 0]\n'
-        'Shape "trianglemesh" "integer indices" [0 1 2 0 2 3] '
+        'Shape "trianglemesh" "integer indices" [0 2 1 0 3 2] '
         '"point P" [-1 -1 3  1 -1 3  1 1 3  -1 1 3]\n'
         'AttributeEnd\n'
     )
