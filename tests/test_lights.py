@@ -74,10 +74,11 @@ def test_triangle_light_irradiance():
     light_id = jnp.asarray(rng.integers(0, 2, R), jnp.int32)
     ls = LT.sample_li(sc, light_id, ref_p, ref_n, u2)
     cos_s = jnp.maximum(ls.wi[:, 2], 0.0)
-    # Uniform light selection pmf = 1/2.
+    # Each sample estimates its chosen light's irradiance; dividing by
+    # the uniform selection pmf (1/2) makes the mean estimate E0 + E1.
     est = float(jnp.mean(
         ls.li[:, 0] * cos_s / jnp.maximum(ls.pdf, 1e-9) / 0.5
-    )) / 2.0
+    ))
     # Analytic irradiance from a 2x2 Lambertian quad at height 3 over
     # the origin with radiance L: E = L * Omega_proj; compute by dense
     # numeric integration for the expected value.
