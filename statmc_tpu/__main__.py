@@ -70,7 +70,9 @@ def main(argv=None):
         print(f"Iteration: {log['iteration']}")
         print(f"SPP: {log['spp']}")
         print(f"Rendering time [ns]: {int(log['render_s'] * 1e9)}")
-        print(f"Denoise time [ns]: {int(log['denoise_s'] * 1e9)}")
+        # Label kept for script compatibility with the reference's
+        # per-iteration report (statpath.cpp:402-429).
+        print(f"CUDA time [ns]: {int(log['denoise_s'] * 1e9)}")
         import time
 
         t0 = time.perf_counter()
@@ -84,6 +86,7 @@ def main(argv=None):
         print(f"Output time [ns]: {int((time.perf_counter() - t0) * 1e9)}")
     if tev is not None:
         tev.close()
+    r.print_stats()
     return 0
 
 

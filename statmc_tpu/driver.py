@@ -132,7 +132,9 @@ def make_sample_fn(setup: RenderSetup):
 
     def sample_step(states, film_sum, film_w, ray_total, base_key,
                     sample_index, pixel_ids, avg_ls, win_b, win_l,
-                    feedback_on):
+                    feedback_on, stats_acc=None):
+        if stats_acc is None:
+            stats_acc = zero_stats()
         px = (pixel_ids % W).astype(jnp.float32)
         py = (pixel_ids // W).astype(jnp.float32)
         keys = crng.pixel_keys(base_key, pixel_ids, sample_index)
@@ -154,6 +156,17 @@ def make_sample_fn(setup: RenderSetup):
             avg_ls, win_b, win_l, feedback_on,
         )
         L = out.ls[:, 0, :]
+        # STAT counters (core/stats.h macro equivalents; statpath.cpp:29-31):
+        # nCameraRays, zeroRadiancePaths/totalPaths, pathLength moments.
+        stats_acc = dict(
+            n_camera_rays=stats_acc["n_camera_rays"] + L.shape[0],
+            zero_paths=stats_acc["zero_paths"]
+            + jnp.sum((jnp.sum(L, -1) == 0.0)),
+            total_paths=stats_acc["total_paths"] + L.shape[0],
+            path_len_sum=stats_acc["path_len_sum"] + jnp.sum(out.path_len),
+            path_len_max=jnp.maximum(
+                stats_acc["path_len_max"], jnp.max(out.path_len)),
+        )
         if setup.pixel_mask is not None:
             m = setup.pixel_mask.astype(jnp.float32)
             film_sum = film_sum + L * m[:, None]
@@ -164,9 +177,19 @@ def make_sample_fn(setup: RenderSetup):
             film_w = film_w + 1.0
             states = E.update_states(states, ecfg, out)
         ray_total = ray_total + jnp.sum(out.n_rays)
-        return states, film_sum, film_w, ray_total
+        return states, film_sum, film_w, ray_total, stats_acc
 
     return sample_step
+
+
+def zero_stats():
+    return dict(
+        n_camera_rays=jnp.zeros((), jnp.float32),
+        zero_paths=jnp.zeros((), jnp.float32),
+        total_paths=jnp.zeros((), jnp.float32),
+        path_len_sum=jnp.zeros((), jnp.float32),
+        path_len_max=jnp.zeros((), jnp.float32),
+    )
 
 
 def make_chunk_fn(setup: RenderSetup):
@@ -175,18 +198,19 @@ def make_chunk_fn(setup: RenderSetup):
     pixel_ids = jnp.arange(P, dtype=jnp.int32)
     sample_step = make_sample_fn(setup)
 
-    def chunk(states, film_sum, film_w, ray_total, base_key, sample_start,
-              avg_ls, win_b, win_l, feedback_on, n_samples):
+    def chunk(states, film_sum, film_w, ray_total, stats_acc, base_key,
+              sample_start, avg_ls, win_b, win_l, feedback_on, n_samples):
         def body(s, carry):
-            states, film_sum, film_w, ray_total = carry
+            states, film_sum, film_w, ray_total, stats_acc = carry
             return sample_step(
                 states, film_sum, film_w, ray_total, base_key,
                 sample_start + s, pixel_ids, avg_ls, win_b, win_l,
-                feedback_on,
+                feedback_on, stats_acc,
             )
 
         return jax.lax.fori_loop(
-            0, n_samples, body, (states, film_sum, film_w, ray_total)
+            0, n_samples, body,
+            (states, film_sum, film_w, ray_total, stats_acc),
         )
 
     return jax.jit(chunk, static_argnames=("n_samples",))
@@ -218,6 +242,7 @@ class Renderer:
         self.film_sum = jnp.zeros((P, 3))
         self.film_w = jnp.zeros((P,))
         self.ray_total = jnp.zeros(())
+        self.stats = zero_stats()
         NL = s.icfg.n_ls
         NB = max(s.icfg.nb_mis, 1)
         self.avg_ls = jnp.ones((P, NL))
@@ -271,10 +296,10 @@ class Renderer:
 
         t0 = time.perf_counter()
         feedback_on = jnp.asarray(i > 1)
-        (self.states, self.film_sum, self.film_w,
-         self.ray_total) = self.chunk_fn(
+        (self.states, self.film_sum, self.film_w, self.ray_total,
+         self.stats) = self.chunk_fn(
             self.states, self.film_sum, self.film_w, self.ray_total,
-            self.base_key, jnp.asarray(start, jnp.int32),
+            self.stats, self.base_key, jnp.asarray(start, jnp.int32),
             self.avg_ls, self.win_b, self.win_l, feedback_on,
             n_samples=n,
         )
@@ -382,6 +407,25 @@ class Renderer:
                 write_pfm(path, arr)
                 written.append(path)
         return written
+
+    def print_stats(self, file=None):
+        """PrintStats(stdout) equivalent (core/stats.cpp; the counters
+        statpath registers at statpath.cpp:29-31)."""
+        import sys
+
+        f = file or sys.stdout
+        st = {k: float(v) for k, v in self.stats.items()}
+        total = max(st["total_paths"], 1.0)
+        print("Statistics:", file=f)
+        print("  Integrator", file=f)
+        print(f"    Camera rays traced {int(st['n_camera_rays'])}", file=f)
+        print(
+            f"    Zero-radiance paths {int(st['zero_paths'])} / "
+            f"{int(st['total_paths'])} "
+            f"({100.0 * st['zero_paths'] / total:.2f}%)", file=f)
+        print(
+            f"    Path length: avg {st['path_len_sum'] / total:.3f}, "
+            f"max {int(st['path_len_max'])}", file=f)
 
     def denoise_from_disk(self, out_dir: str, iteration: int):
         """--denoise mode: re-ingest prerendered buffers by filename

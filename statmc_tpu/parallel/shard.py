@@ -94,10 +94,11 @@ def make_sharded_chunk_fn(setup: RenderSetup, mesh: Mesh):
         def body(s, carry):
             st, fs, fw, rt = carry
             sample_index = sample_start + s * n_spp + my_spp
-            return sample_step(
+            nst, nfs, nfw, nrt, _ = sample_step(
                 st, fs, fw, rt, base_key, sample_index, pixel_ids,
                 avg_ls, win_b, win_l, feedback_on,
             )
+            return nst, nfs, nfw, nrt
 
         local_states, local_film, local_w, local_rays = jax.lax.fori_loop(
             0, n_local, body, (local_states, local_film, local_w, local_rays)

@@ -60,6 +60,7 @@ class SampleOutput(NamedTuple):
     normal: Any  # [P,3] shading normal at first hit
     albedo: Any  # [P,3] approximate albedo at first hit
     n_rays: Any  # [P] rays traced for this sample (closest + shadow)
+    path_len: Any  # [P] number of bounces survived (pathLength stat)
 
 
 def power_heuristic(nf, f_pdf, ng, g_pdf):
@@ -134,6 +135,7 @@ def trace(
         normal=jnp.zeros((P, 3)),
         albedo=jnp.zeros((P, 3)),
         n_rays=jnp.zeros((P,)),
+        path_len=jnp.zeros((P,)),
     )
 
     bounce_ids = jnp.arange(cfg.max_depth + 1)
@@ -355,12 +357,14 @@ def trace(
             + carry["active"].astype(jnp.float32)  # path closest-hit
             + 2.0 * nee.astype(jnp.float32)  # shadow + BSDF-MIS closest
         )
+        path_len = carry["path_len"] + shading.astype(jnp.float32)
         new_carry = dict(
             o=o_new, d=d_new, ls=ls, betas=betas,
             specular=specular_new, active=active, eta_scale=eta_scale,
             mis_bsdf=mis_bsdf, mis_light=mis_light,
             mat_id=carry_mat, depth=carry_depth,
             normal=carry_normal, albedo=carry_albedo, n_rays=n_rays,
+            path_len=path_len,
         )
         return new_carry, None
 
@@ -382,4 +386,5 @@ def trace(
         normal=carry["normal"],
         albedo=carry["albedo"],
         n_rays=carry["n_rays"],
+        path_len=carry["path_len"],
     )
