@@ -337,9 +337,19 @@ class Renderer:
             res = self.denoiser(
                 st, c, film if c.type == E.RADIANCE else None, W, H
             )
-            derived[c.type] = res
             if c.type == E.RADIANCE and s.ecfg.denoise_image:
                 film_f = res["film_f"]
+                if c.n_channels == 3:
+                    # Reference aliasing (estimator.cpp:143-146, RGB path
+                    # only): with denoiseFilm on, Radiance b0's
+                    # film-mean-f buffer IS the filtered film (film-f) --
+                    # replicate for buffer parity and the ACRR bounce-0
+                    # feedback (statpath.cpp:308 reads it).
+                    res = dict(res)
+                    res["film_mean_f"] = res["film_mean_f"].at[0].set(
+                        film_f.reshape(-1, 3)
+                    )
+            derived[c.type] = res
         self.derived = derived
         self.film_f = film_f
 
