@@ -168,10 +168,13 @@ def make_sample_fn(setup: RenderSetup):
                 stats_acc["path_len_max"], jnp.max(out.path_len)),
         )
         if setup.pixel_mask is not None:
-            m = setup.pixel_mask.astype(jnp.float32)
+            # Gather by pixel id so the mask also applies under the
+            # block loop (pixel_ids is a block slice there).
+            mask = setup.pixel_mask[pixel_ids]
+            m = mask.astype(jnp.float32)
             film_sum = film_sum + L * m[:, None]
             film_w = film_w + m
-            states = E.update_states(states, ecfg, out, setup.pixel_mask)
+            states = E.update_states(states, ecfg, out, mask)
         else:
             film_sum = film_sum + L
             film_w = film_w + 1.0
@@ -192,24 +195,90 @@ def zero_stats():
     )
 
 
+# Pixels processed per trace invocation.  Bounds both device memory
+# (dense intersection temporaries) and -- critically -- XLA program
+# complexity: chunking INSIDE the intersectors (lax.map around
+# while_loops, x3 calls x bounces) made 65k-lane programs take tens of
+# minutes to compile; one block loop around the whole bounce scan keeps
+# the program a single level deeper regardless of resolution.
+PIXEL_BLOCK = 32768
+
+
+def padded_pixel_count(P: int) -> tuple[int, int, int]:
+    """(padded P, block size, n_blocks) for the block-looped chunk fn."""
+    B = min(P, PIXEL_BLOCK)
+    n_blocks = (P + B - 1) // B
+    return n_blocks * B, B, n_blocks
+
+
 def make_chunk_fn(setup: RenderSetup):
-    """Build the jitted per-chunk render function (single device)."""
+    """Build the jitted per-chunk render function (single device).
+
+    All [P]-major arrays must be padded to padded_pixel_count(W*H)[0];
+    the pad lanes re-trace the last real pixel and are ignored on read.
+    """
     P = setup.width * setup.height
-    pixel_ids = jnp.arange(P, dtype=jnp.int32)
     sample_step = make_sample_fn(setup)
+    Pp, B, n_blocks = padded_pixel_count(P)
+    # Padded pixel ids: pad lanes alias the last real pixel for ray
+    # generation but never alias its statistics (their block writes land
+    # in the pad region).
+    pixel_ids_all = jnp.minimum(jnp.arange(Pp, dtype=jnp.int32), P - 1)
+
+    def slice_px(x, start, size):
+        """Dynamic-slice the pixel axis of a film ([P,...]) array."""
+        idx = (start,) + (0,) * (x.ndim - 1)
+        return jax.lax.dynamic_slice(x, idx, (size,) + x.shape[1:])
+
+    def slice_state(states, start, size):
+        return jax.tree.map(
+            lambda x: jax.lax.dynamic_slice(
+                x, (0, start) + (0,) * (x.ndim - 2),
+                (x.shape[0], size) + x.shape[2:],
+            ),
+            states,
+        )
+
+    def write_state(states, blk, start):
+        return jax.tree.map(
+            lambda x, b: jax.lax.dynamic_update_slice(
+                x, b, (0, start) + (0,) * (x.ndim - 2)
+            ),
+            states, blk,
+        )
 
     def chunk(states, film_sum, film_w, ray_total, stats_acc, base_key,
               sample_start, avg_ls, win_b, win_l, feedback_on, n_samples):
-        def body(s, carry):
+        def sample_body(s, carry):
             states, film_sum, film_w, ray_total, stats_acc = carry
-            return sample_step(
-                states, film_sum, film_w, ray_total, base_key,
-                sample_start + s, pixel_ids, avg_ls, win_b, win_l,
-                feedback_on, stats_acc,
-            )
+
+            def block_body(bi, carry2):
+                states, film_sum, film_w, ray_total, stats_acc = carry2
+                start = bi * B
+                ids = jax.lax.dynamic_slice(pixel_ids_all, (start,), (B,))
+                st_b = slice_state(states, start, B)
+                fs_b = slice_px(film_sum, start, B)
+                fw_b = slice_px(film_w, start, B)
+                al_b = slice_px(avg_ls, start, B)
+                wb_b = slice_px(win_b, start, B)
+                wl_b = slice_px(win_l, start, B)
+                st_b, fs_b, fw_b, ray_total, stats_acc = sample_step(
+                    st_b, fs_b, fw_b, ray_total, base_key,
+                    sample_start + s, ids, al_b, wb_b, wl_b,
+                    feedback_on, stats_acc,
+                )
+                states = write_state(states, st_b, start)
+                film_sum = jax.lax.dynamic_update_slice(
+                    film_sum, fs_b, (start, 0))
+                film_w = jax.lax.dynamic_update_slice(film_w, fw_b, (start,))
+                return states, film_sum, film_w, ray_total, stats_acc
+
+            if n_blocks == 1:
+                return block_body(0, carry)
+            return jax.lax.fori_loop(0, n_blocks, block_body, carry)
 
         return jax.lax.fori_loop(
-            0, n_samples, body,
+            0, n_samples, sample_body,
             (states, film_sum, film_w, ray_total, stats_acc),
         )
 
@@ -233,24 +302,33 @@ class Renderer:
         self.denoiser = denoiser
         P = setup.width * setup.height
         self.P = P
+        # Device arrays are padded to a whole number of pixel blocks
+        # (padded_pixel_count); the pad slice is write-only garbage.
+        self.Pp = padded_pixel_count(P)[0]
         self.reset()
 
     def reset(self):
         s = self.s
-        P = self.P
-        self.states = E.make_states(s.ecfg, P)
-        self.film_sum = jnp.zeros((P, 3))
-        self.film_w = jnp.zeros((P,))
+        Pp = self.Pp
+        self.states = E.make_states(s.ecfg, Pp)
+        self.film_sum = jnp.zeros((Pp, 3))
+        self.film_w = jnp.zeros((Pp,))
         self.ray_total = jnp.zeros(())
         self.stats = zero_stats()
         NL = s.icfg.n_ls
         NB = max(s.icfg.nb_mis, 1)
-        self.avg_ls = jnp.ones((P, NL))
-        self.win_b = jnp.zeros((P, NB))
-        self.win_l = jnp.zeros((P, NB))
+        self.avg_ls = jnp.ones((Pp, NL))
+        self.win_b = jnp.zeros((Pp, NB))
+        self.win_l = jnp.zeros((Pp, NB))
         self.derived = {}
         self.film_f = None
         self.base_key = crng.base_key(s.base_seed)
+
+    def _real_states(self):
+        """States with the pixel pad sliced away ([NB, P, C])."""
+        if self.Pp == self.P:
+            return self.states
+        return jax.tree.map(lambda x: x[:, : self.P], self.states)
 
     @property
     def film_mean(self):
@@ -261,7 +339,8 @@ class Renderer:
         composition is a near-identity linear map whose f32 residue is
         visible in bit-level comparisons, so we reproduce it.
         """
-        rgb = self.film_sum / jnp.maximum(self.film_w, 1.0)[..., None]
+        rgb = self.film_sum[: self.P] / jnp.maximum(
+            self.film_w[: self.P], 1.0)[..., None]
         return spec.xyz_to_rgb(spec.rgb_to_xyz(rgb))
 
     def iteration_spp(self, i: int) -> tuple[int, int]:
@@ -326,14 +405,15 @@ class Renderer:
         s = self.s
         W, H = s.width, s.height
         film = self.film_mean.reshape(H, W, 3)
+        states = self._real_states()
         if hasattr(self.denoiser, "prepare_gbuffers"):
-            self.denoiser.prepare_gbuffers(self.states)
+            self.denoiser.prepare_gbuffers(states)
         derived = {}
         film_f = None
         for c in s.ecfg.configs:
             if not c.enable or E.DENOISE_GROUP not in c.groups:
                 continue
-            st = self.states[c.type]
+            st = states[c.type]
             res = self.denoiser(
                 st, c, film if c.type == E.RADIANCE else None, W, H
             )
@@ -366,12 +446,19 @@ class Renderer:
             avg = jnp.swapaxes(lum, 0, 1)  # [P,NB]
             if avg.shape[1] < NL:
                 avg = jnp.pad(avg, ((0, 0), (0, NL - avg.shape[1])))
-            self.avg_ls = avg[:, :NL]
+            avg = avg[:, :NL]
+            if self.Pp != self.P:
+                avg = jnp.pad(avg, ((0, self.Pp - self.P), (0, 0)))
+            self.avg_ls = avg
         if s.ecfg.enable_smis and E.MIS_BSDF_WIN_RATE in derived:
-            self.win_b = jnp.swapaxes(
+            wb = jnp.swapaxes(
                 derived[E.MIS_BSDF_WIN_RATE]["film_mean_f"][..., 0], 0, 1)
-            self.win_l = jnp.swapaxes(
+            wl = jnp.swapaxes(
                 derived[E.MIS_LIGHT_WIN_RATE]["film_mean_f"][..., 0], 0, 1)
+            if self.Pp != self.P:
+                pad = ((0, self.Pp - self.P), (0, 0))
+                wb, wl = jnp.pad(wb, pad), jnp.pad(wl, pad)
+            self.win_b, self.win_l = wb, wl
 
     # -- output -----------------------------------------------------------
 
@@ -391,14 +478,16 @@ class Renderer:
                 }.items() if v is not None
             }
         # mean-variance buffers (ProDen group; estimator.cpp:491-569).
+        real = self._real_states()
         for c in s.ecfg.configs:
             if c.enable and E.MEANVAR_GROUP in c.groups:
-                st = self.states[c.type]
+                st = real[c.type]
                 var = moments.mean_variance(st, film=True)
                 d = derived_named.setdefault(c.type, {})
                 d["film_mean_var"] = var
         named.update(
-            E.export_buffers(self.states, s.ecfg, W, H, derived_named)
+            E.export_buffers(self._real_states(), s.ecfg, W, H,
+                             derived_named)
         )
         return named
 
@@ -452,11 +541,17 @@ class Renderer:
         spp = self.total_spp(iteration)
         prefix = os.path.join(out_dir, f"{stem}-{spp}-")
 
+        def pad_px(a):
+            if self.Pp == a.shape[0]:
+                return a
+            return np.pad(a, [(0, self.Pp - a.shape[0])] + [(0, 0)] * (
+                a.ndim - 1))
+
         film_path = prefix + "film.pfm"
         if os.path.exists(film_path):
             img = read_pfm(film_path).reshape(-1, 3)
-            self.film_sum = jnp.asarray(img)
-            self.film_w = jnp.ones((self.P,))
+            self.film_sum = jnp.asarray(pad_px(img))
+            self.film_w = jnp.ones((self.Pp,))
 
         suffix_field = {
             "n": "n", "mean": "mean", "m2": "m2", "m3": "m3",
@@ -481,7 +576,7 @@ class Renderer:
             st = states[t]
             if field == "n":
                 if "n" in st:
-                    arr = read_pfm(path).reshape(-1)[:, None]
+                    arr = pad_px(read_pfm(path).reshape(-1)[:, None])
                     st["n"] = st["n"].at[b_idx].set(jnp.asarray(arr))
                 continue
             if field not in st:
@@ -489,7 +584,7 @@ class Renderer:
             arr = read_pfm(path)
             C = st[field].shape[-1]
             arr = arr.reshape(-1, C) if arr.ndim == 3 else arr.reshape(-1, 1)
-            st[field] = st[field].at[b_idx].set(jnp.asarray(arr))
+            st[field] = st[field].at[b_idx].set(jnp.asarray(pad_px(arr)))
         self.states = states
         self._denoise()
         return self.write_outputs(out_dir, iteration)
