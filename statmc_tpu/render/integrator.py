@@ -49,6 +49,9 @@ class IntegratorConfig(NamedTuple):
     enable_acrr: bool = False
     rr_threshold: float = 1.0
     rr_start_bounce: int = 4  # reference: RR from the 5th bounce (b > 3)
+    enable_nee: bool = True  # False = brute-force BSDF-only estimator
+    # (not a reference feature; used as an independent ground truth for
+    # validating the NEE+MIS estimator in tests)
 
 
 class SampleOutput(NamedTuple):
@@ -149,7 +152,10 @@ def trace(
         found = hit.found & active
 
         # --- emitted light at the vertex (bounce 0 or after specular) ---
-        emit = (b == 0) | carry["specular"]
+        if cfg.enable_nee:
+            emit = (b == 0) | carry["specular"]
+        else:
+            emit = jnp.ones((P,), bool)  # BSDF-only: Le at every vertex
         le_hit = LT.area_light_le(scene, hit.light_id, hit.ng, -d)
         le_esc = LT.escaped_radiance(scene, d)
         le = jnp.where(found[..., None], le_hit,
@@ -184,6 +190,8 @@ def trace(
         # --- next-event estimation --------------------------------------
         delta_bsdf = B.is_specular(m)
         nee = shading & ~delta_bsdf
+        if not cfg.enable_nee:
+            nee = jnp.zeros_like(nee)
 
         u_sel = crng.uniform_1d(keys, b, crng.SLOT_LIGHT_SELECT)
         light_id, sel_pmf = sample_light_id(dist, u_sel, hit.p)

@@ -99,12 +99,15 @@ def sample_li(scene: sb.SceneTables, light_id: Array, ref_p: Array,
         )
         cos_alpha = (dc2 + r * r - ds * ds) / jnp.maximum(2.0 * dc * r, 1e-12)
         sin_alpha = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_alpha**2))
+        # Outward normal of the sampled point on the NEAR side of the
+        # sphere: tilted away from -w by angle alpha (sphere.cpp:Sample:
+        # the sampled point faces the reference point).
         n_sph = -(
             sin_alpha[..., None] * jnp.cos(phi)[..., None] * wx
             + sin_alpha[..., None] * jnp.sin(phi)[..., None] * wy
             + cos_alpha[..., None] * w
         )
-        p_sph = c + r[..., None] * (-n_sph)
+        p_sph = c + r[..., None] * n_sph
         wi_s = cm.normalize(p_sph - ref_p)
         pdf_s = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_tmax), 1e-9)
         # Inside the sphere: uniform over the full sphere area.
@@ -119,7 +122,7 @@ def sample_li(scene: sb.SceneTables, light_id: Array, ref_p: Array,
         wi_sn = jnp.where(inside[..., None], wi_in, wi_s)
         p_sphere = jnp.where(inside[..., None], p_in, p_sph)
         pdf_sp = jnp.where(inside, pdf_in, pdf_s)
-        n_at = jnp.where(inside[..., None], u_sph, -n_sph)
+        n_at = jnp.where(inside[..., None], u_sph, n_sph)
         li_s = jnp.where((cm.dot(n_at, -wi_sn) > 0)[..., None], L, 0.0)
         dist_s = cm.length(p_sphere - ref_p)
     else:
