@@ -218,3 +218,54 @@ def test_nee_matches_bsdf_only_ground_truth():
         nee_img.mean(), bf_img.mean(), rtol=0.08,
         err_msg=f"NEE {nee_img.mean():.4f} vs BSDF-only {bf_img.mean():.4f}",
     )
+
+
+@pytest.mark.parametrize("mat", [
+    'Material "matte" "rgb Kd" [0.6 0.6 0.6]',
+    'Material "substrate" "rgb Kd" [0.4 0.4 0.4] "rgb Ks" [0.2 0.2 0.2] '
+    '"float uroughness" [0.2] "float vroughness" [0.2] '
+    '"bool remaproughness" ["false"]',
+    'Material "plastic" "rgb Kd" [0.4 0.4 0.4] "rgb Ks" [0.3 0.3 0.3] '
+    '"float roughness" [0.2] "bool remaproughness" ["false"]',
+])
+def test_nee_vs_bsdf_only_materials(mat):
+    """NEE+MIS vs brute-force BSDF sampling across lobe families."""
+    from statmc_tpu.driver import prepare, Renderer
+    from statmc_tpu.scene.api import parse_scene
+    import dataclasses, tempfile, os
+
+    scene = (
+        'Integrator "statpath" "integer maxdepth" [2] '
+        '"integer iterations" [1] "bool calcstats" ["true"] '
+        '"float rrthreshold" [0]\n'
+        'Sampler "random" "integer pixelsamples" [64]\n'
+        'Film "image" "integer xresolution" [8] "integer yresolution" [8] '
+        '"string filename" ["t.pfm"]\n'
+        'Camera "perspective" "float fov" [40]\n'
+        'WorldBegin\n'
+        + mat + '\n'
+        'Shape "trianglemesh" "integer indices" [0 2 1 0 3 2] '
+        '"point P" [-4 -1 1  4 -1 1  4 1 6  -4 1 6]\n'
+        'AttributeBegin\n'
+        'AreaLightSource "diffuse" "rgb L" [6 6 6]\n'
+        'Material "matte" "rgb Kd" [0 0 0]\n'
+        'TransformBegin\nTransform [1 0 0 0 0 1 0 0 0 0 1 0 0 3 3 1]\n'
+        'Shape "sphere" "float radius" [0.8]\nTransformEnd\n'
+        'AttributeEnd\n'
+        'WorldEnd\n'
+    )
+    tmp = tempfile.mkdtemp()
+    p = os.path.join(tmp, "s.pbrt")
+    with open(p, "w") as f:
+        f.write(scene)
+    setup = prepare(parse_scene(p))
+    r1 = Renderer(setup)
+    r1.render(iterations=1, verbose=False)
+    nee = float(np.asarray(r1.film_mean).mean())
+    r2 = Renderer(dataclasses.replace(
+        setup, icfg=setup.icfg._replace(enable_nee=False)))
+    r2.render(iterations=1, verbose=False)
+    bf = float(np.asarray(r2.film_mean).mean())
+    assert abs(nee - bf) < 0.10 * max(bf, 1e-3) + 0.01, (
+        f"{mat[:30]}: NEE {nee:.4f} vs BSDF-only {bf:.4f}"
+    )
