@@ -91,38 +91,51 @@ def _filter_kernel(
 
         side = 2 * r + 1
 
-        def offset_body(k, _):
-            dy = k // side
-            dx = k % side
-            # Spatial Gaussian factor.
-            fdy = (dy - r).astype(jnp.float32)
-            fdx = (dx - r).astype(jnp.float32)
-            w = jnp.exp(ds_factor * (fdy * fdy + fdx * fdx))
-            w = jnp.broadcast_to(w, (TH, WC))
+        # Mosaic cannot address dynamic sublane offsets (dim -2 slices
+        # must be provably 8-aligned) and dynamic lane slicing is equally
+        # restricted, so the window walk is structured as: fori over the
+        # horizontal offset dx with pltpu.roll (dynamic lane rotate is a
+        # native TPU op), then a STATIC unrolled loop over the vertical
+        # offset dy (static sublane slices).  The roll's wrap-around
+        # region never reaches the [0:WC) read window because
+        # WS >= WC + 2r >= dx + WC.
+        def dx_body(dx, _):
+            def rolled(ref_plane):
+                return pltpu.roll(ref_plane, -dx, 1)
 
-            accept = None
-            for c in range(C):
-                mc_n = mc_s[c, pl.ds(dy, TH), pl.ds(dx, WC)]
-                d2_n = d2_s[c, pl.ds(dy, TH), pl.ds(dx, WC)]
-                diff = mc_c[c] - mc_n
-                a = diff * diff <= d2_c[c] + d2_n + 1e-20
-                accept = a if accept is None else (accept & a)
-            rsum = jnp.zeros((TH, WC))
-            for g in range(G):
-                gb_n = gb_s[g, pl.ds(dy, TH), pl.ds(dx, WC)]
-                dgb = gb_c[g] - gb_n
-                # gb_factors holds one -0.5/sigma_r^2 per *plane* (the
-                # caller repeats each buffer's factor over its channels).
-                rsum = rsum + gb_factors[g] * dgb * dgb
-            v_n = v_s[pl.ds(dy, TH), pl.ds(dx, WC)]
-            w = w * jnp.exp(rsum) * accept.astype(jnp.float32) * v_n
-            wacc_s[...] += w
-            for c in range(CF):
-                fm_n = fm_s[c, pl.ds(dy, TH), pl.ds(dx, WC)]
-                acc_s[c] += w * fm_n
+            mc_r = [rolled(mc_s[c]) for c in range(C)]
+            d2_r = [rolled(d2_s[c]) for c in range(C)]
+            fm_r = [rolled(fm_s[c]) for c in range(CF)]
+            gb_r = [rolled(gb_s[g]) for g in range(G)]
+            v_r = rolled(v_s[...])
+            fdx = (dx - r).astype(jnp.float32)
+
+            for dy in range(side):
+                fdy = jnp.float32(dy - r)
+                w = jnp.exp(ds_factor * (fdy * fdy + fdx * fdx))
+                w = jnp.broadcast_to(w, (TH, WC))
+                accept = None
+                for c in range(C):
+                    mc_n = mc_r[c][dy : dy + TH, 0:WC]
+                    d2_n = d2_r[c][dy : dy + TH, 0:WC]
+                    diff = mc_c[c] - mc_n
+                    a = diff * diff <= d2_c[c] + d2_n + 1e-20
+                    accept = a if accept is None else (accept & a)
+                rsum = jnp.zeros((TH, WC))
+                for g in range(G):
+                    dgb = gb_c[g] - gb_r[g][dy : dy + TH, 0:WC]
+                    # gb_factors holds one -0.5/sigma_r^2 per *plane*
+                    # (the caller repeats each buffer's factor over its
+                    # channels).
+                    rsum = rsum + gb_factors[g] * dgb * dgb
+                v_n = v_r[dy : dy + TH, 0:WC]
+                w = w * jnp.exp(rsum) * accept.astype(jnp.float32) * v_n
+                wacc_s[...] += w
+                for c in range(CF):
+                    acc_s[c] += w * fm_r[c][dy : dy + TH, 0:WC]
             return 0
 
-        jax.lax.fori_loop(0, side * side, offset_body, 0)
+        jax.lax.fori_loop(0, side, dx_body, 0)
 
         if normalize:
             wsafe = jnp.maximum(wacc_s[...], 1e-20)
