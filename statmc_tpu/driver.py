@@ -300,6 +300,8 @@ class Renderer:
 
             denoiser = StatDenoiser(setup.ecfg, setup.width, setup.height)
         self.denoiser = denoiser
+        # Cap samples per XLA dispatch (watchdog + program reuse).
+        self.max_samples_per_dispatch = 4
         P = setup.width * setup.height
         self.P = P
         # Device arrays are padded to a whole number of pixel blocks
@@ -375,13 +377,22 @@ class Renderer:
 
         t0 = time.perf_counter()
         feedback_on = jnp.asarray(i > 1)
-        (self.states, self.film_sum, self.film_w, self.ray_total,
-         self.stats) = self.chunk_fn(
-            self.states, self.film_sum, self.film_w, self.ray_total,
-            self.stats, self.base_key, jnp.asarray(start, jnp.int32),
-            self.avg_ls, self.win_b, self.win_l, feedback_on,
-            n_samples=n,
-        )
+        # Bounded dispatches: one giant XLA invocation per iteration can
+        # exceed the device watchdog (observed as UNAVAILABLE after ~2
+        # min); sub-chunks also reuse one compiled program across all
+        # iteration sizes.
+        done = 0
+        while done < n:
+            step = min(self.max_samples_per_dispatch, n - done)
+            (self.states, self.film_sum, self.film_w, self.ray_total,
+             self.stats) = self.chunk_fn(
+                self.states, self.film_sum, self.film_w, self.ray_total,
+                self.stats, self.base_key,
+                jnp.asarray(start + done, jnp.int32),
+                self.avg_ls, self.win_b, self.win_l, feedback_on,
+                n_samples=step,
+            )
+            done += step
         jax.block_until_ready(self.film_sum)
         t_render = time.perf_counter() - t0
 
