@@ -64,10 +64,10 @@ def main():
     denoise_ms_per_mpix = log["denoise_s"] * 1e3 / mpix
 
     film = np.asarray(r.film_mean)
-    ok = bool(np.isfinite(film).all()) and film.mean() > 0
+    ok = bool(np.isfinite(film).all() and film.mean() > 0)
 
     result = {
-        "metric": "staircase_proxy_64spp_rays_per_s_per_chip",
+        "metric": f"staircase_proxy_{SPP}spp_rays_per_s_per_chip",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
