@@ -199,6 +199,7 @@ class StatDenoiser:
             -0.5 / (ecfg.filter_sd * ecfg.filter_sd), jnp.float32
         )
         self.radius = int(ecfg.filter_radius)
+        self._jit_bounce = {}  # (C, with_film, Gp) -> jitted fn
 
     def _gbuffers(self, states):
         """Collect enabled filter G-buffer means.
@@ -232,16 +233,19 @@ class StatDenoiser:
                 jnp.zeros((0,), jnp.float32),
                 jnp.zeros((self.H, self.W, 0)), ())
 
-    def __call__(self, state, cfg_type, film, width, height):
+    def __call__(self, state, cfg_type, film, width, height, gbufs=None):
         """Filter all bounce buffers of one stat type.
 
         state: MomentState [NB,P,C]; film: [H,W,3] actual film image for
         Radiance (or None).  Returns derived buffers [NB,P,C] + film_f.
+        gbufs overrides the prepare_gbuffers cache (pass explicitly when
+        tracing under an outer jit -- the cache must never hold tracers).
         """
         H, W = height, width
         NB = state["n"].shape[0]
         C = state["mean"].shape[-1]
-        gbufs = getattr(self, "_gb_cache", None)
+        if gbufs is None:
+            gbufs = getattr(self, "_gb_cache", None)
         if gbufs is None:
             raise RuntimeError("call prepare_gbuffers(states) first")
         gb, gf, gb_planes, gf_planes = gbufs
@@ -257,24 +261,15 @@ class StatDenoiser:
             fm = state.get("film_mean", state["mean"])[j].reshape(H, W, C)
             fi = film if (film is not None and j == 0) else None
             if self.impl == "pallas":
-                from .filter_pallas import _run_filter
-
-                mc, disc = corrected_stats(
-                    n_img, mean, m2, m3, self.tq, self.moon_ci
+                key = (C, fi is not None, int(gb_planes.shape[-1]))
+                if key not in self._jit_bounce:
+                    self._jit_bounce[key] = self._make_jit_bounce(
+                        H, W, fi is not None, gf_planes
+                    )
+                res = self._jit_bounce[key](
+                    n_img, mean, m2, m3, fm, gb_planes,
+                    fi if fi is not None else jnp.zeros((H, W, 0)),
                 )
-                fstack = fm if fi is None else jnp.concatenate([fm, fi], -1)
-                out, _ = _run_filter(
-                    mc, disc * disc, fstack, gb_planes,
-                    jnp.ones((H, W)), self.radius, float(self.ds_factor),
-                    gf_planes,
-                )
-                res = {
-                    "mean_corr": mc,
-                    "discriminator": disc,
-                    "film_mean_f": out[..., :C],
-                }
-                if fi is not None:
-                    res["film_f"] = out[..., C:]
             else:
                 res = stat_filter(
                     n_img, mean, m2, m3, fm, gb, gf, self.ds_factor,
@@ -292,6 +287,37 @@ class StatDenoiser:
             "film_mean_f": jnp.stack(outs["film_mean_f"]),
             "film_f": film_f,
         }
+
+    def _make_jit_bounce(self, H, W, with_film, gf_planes):
+        """One fused program per (type-shape): corrected stats + Pallas
+        filter + output slicing.  Eager per-op dispatch through the
+        device relay dominated the denoise wall clock otherwise."""
+        from .filter_pallas import _run_filter
+
+        radius = self.radius
+        ds = float(self.ds_factor)
+        tq = self.tq
+        moon = self.moon_ci
+
+        def run(n_img, mean, m2, m3, fm, gb_planes, film):
+            C = mean.shape[-1]
+            mc, disc = corrected_stats(n_img, mean, m2, m3, tq, moon)
+            fstack = fm if not with_film else jnp.concatenate(
+                [fm, film], -1)
+            out, _ = _run_filter(
+                mc, disc * disc, fstack, gb_planes, jnp.ones((H, W)),
+                radius, ds, gf_planes,
+            )
+            res = {
+                "mean_corr": mc,
+                "discriminator": disc,
+                "film_mean_f": out[..., :C],
+            }
+            if with_film:
+                res["film_f"] = out[..., C:]
+            return res
+
+        return jax.jit(run)
 
     def prepare_gbuffers(self, states):
         self._gb_cache = self._gbuffers(states)

@@ -412,64 +412,86 @@ class Renderer:
 
     def _denoise(self):
         """Run the statistical filter over every DenoiseGroup buffer and
-        refresh the ACRR/SMIS feedback (estimator.cpp:427-489 equivalent)."""
-        s = self.s
-        W, H = s.width, s.height
-        film = self.film_mean.reshape(H, W, 3)
+        refresh the ACRR/SMIS feedback (estimator.cpp:427-489 equivalent).
+
+        The whole pass (all buffers + feedback) is one jitted program:
+        eager per-op dispatch through the device relay dominated the
+        denoise wall clock otherwise."""
+        if getattr(self, "_denoise_fn", None) is None:
+            self._denoise_fn = self._build_denoise_fn()
         states = self._real_states()
-        if hasattr(self.denoiser, "prepare_gbuffers"):
-            self.denoiser.prepare_gbuffers(states)
-        derived = {}
-        film_f = None
-        for c in s.ecfg.configs:
-            if not c.enable or E.DENOISE_GROUP not in c.groups:
-                continue
-            st = states[c.type]
-            res = self.denoiser(
-                st, c, film if c.type == E.RADIANCE else None, W, H
-            )
-            if c.type == E.RADIANCE and s.ecfg.denoise_image:
-                film_f = res["film_f"]
-                if c.n_channels == 3:
-                    # Reference aliasing (estimator.cpp:143-146, RGB path
-                    # only): with denoiseFilm on, Radiance b0's
-                    # film-mean-f buffer IS the filtered film (film-f) --
-                    # replicate for buffer parity and the ACRR bounce-0
-                    # feedback (statpath.cpp:308 reads it).
-                    res = dict(res)
-                    res["film_mean_f"] = res["film_mean_f"].at[0].set(
-                        film_f.reshape(-1, 3)
-                    )
-            derived[c.type] = res
+        derived, film_f, avg, wb, wl = self._denoise_fn(
+            states, self.film_mean
+        )
         self.derived = derived
         self.film_f = film_f
-
-        # Feedback: denoised per-bounce mean luminance -> ACRR
-        # (statpath.cpp:306-313); win rates -> SMIS.
-        rad = s.ecfg.configs[E.RADIANCE]
-        if rad.enable and E.RADIANCE in derived:
-            fmf = derived[E.RADIANCE]["film_mean_f"]  # [NB,P,C]
-            if rad.n_channels == 3:
-                lum = spec.luminance(fmf)
-            else:
-                lum = fmf[..., 0]
-            NL = self.avg_ls.shape[1]
-            avg = jnp.swapaxes(lum, 0, 1)  # [P,NB]
-            if avg.shape[1] < NL:
-                avg = jnp.pad(avg, ((0, 0), (0, NL - avg.shape[1])))
-            avg = avg[:, :NL]
-            if self.Pp != self.P:
-                avg = jnp.pad(avg, ((0, self.Pp - self.P), (0, 0)))
+        if avg is not None:
             self.avg_ls = avg
-        if s.ecfg.enable_smis and E.MIS_BSDF_WIN_RATE in derived:
-            wb = jnp.swapaxes(
-                derived[E.MIS_BSDF_WIN_RATE]["film_mean_f"][..., 0], 0, 1)
-            wl = jnp.swapaxes(
-                derived[E.MIS_LIGHT_WIN_RATE]["film_mean_f"][..., 0], 0, 1)
-            if self.Pp != self.P:
-                pad = ((0, self.Pp - self.P), (0, 0))
-                wb, wl = jnp.pad(wb, pad), jnp.pad(wl, pad)
+        if wb is not None:
             self.win_b, self.win_l = wb, wl
+
+    def _build_denoise_fn(self):
+        s = self.s
+        W, H = s.width, s.height
+        P, Pp = self.P, self.Pp
+        NL = s.icfg.n_ls
+        denoiser = self.denoiser
+
+        def run(states, film_flat):
+            film = film_flat.reshape(H, W, 3)
+            gbufs = (denoiser._gbuffers(states)
+                     if hasattr(denoiser, "_gbuffers") else None)
+            derived = {}
+            film_f = None
+            for c in s.ecfg.configs:
+                if not c.enable or E.DENOISE_GROUP not in c.groups:
+                    continue
+                res = denoiser(
+                    states[c.type], c,
+                    film if c.type == E.RADIANCE else None, W, H,
+                    gbufs=gbufs,
+                )
+                if c.type == E.RADIANCE and s.ecfg.denoise_image:
+                    film_f = res["film_f"]
+                    if c.n_channels == 3:
+                        # Reference aliasing (estimator.cpp:143-146, RGB
+                        # path only): with denoiseFilm on, Radiance b0's
+                        # film-mean-f buffer IS the filtered film
+                        # (film-f) -- replicate for buffer parity and the
+                        # ACRR bounce-0 feedback (statpath.cpp:308).
+                        res = dict(res)
+                        res["film_mean_f"] = res["film_mean_f"].at[0].set(
+                            film_f.reshape(-1, 3)
+                        )
+                derived[c.type] = res
+
+            # Feedback: denoised per-bounce mean luminance -> ACRR
+            # (statpath.cpp:306-313); win rates -> SMIS.
+            avg = wb = wl = None
+            rad = s.ecfg.configs[E.RADIANCE]
+            if rad.enable and E.RADIANCE in derived:
+                fmf = derived[E.RADIANCE]["film_mean_f"]  # [NB,P,C]
+                lum = (spec.luminance(fmf) if rad.n_channels == 3
+                       else fmf[..., 0])
+                avg = jnp.swapaxes(lum, 0, 1)  # [P,NB]
+                if avg.shape[1] < NL:
+                    avg = jnp.pad(avg, ((0, 0), (0, NL - avg.shape[1])))
+                avg = avg[:, :NL]
+                if Pp != P:
+                    avg = jnp.pad(avg, ((0, Pp - P), (0, 0)))
+            if s.ecfg.enable_smis and E.MIS_BSDF_WIN_RATE in derived:
+                wb = jnp.swapaxes(
+                    derived[E.MIS_BSDF_WIN_RATE]["film_mean_f"][..., 0],
+                    0, 1)
+                wl = jnp.swapaxes(
+                    derived[E.MIS_LIGHT_WIN_RATE]["film_mean_f"][..., 0],
+                    0, 1)
+                if Pp != P:
+                    pad = ((0, Pp - P), (0, 0))
+                    wb, wl = jnp.pad(wb, pad), jnp.pad(wl, pad)
+            return derived, film_f, avg, wb, wl
+
+        return jax.jit(run)
 
     # -- output -----------------------------------------------------------
 
