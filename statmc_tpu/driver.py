@@ -421,7 +421,7 @@ class Renderer:
             self._denoise_fn = self._build_denoise_fn()
         states = self._real_states()
         derived, film_f, avg, wb, wl = self._denoise_fn(
-            states, self.film_mean
+            states, self.film_sum, self.film_w
         )
         self.derived = derived
         self.film_f = film_f
@@ -437,7 +437,9 @@ class Renderer:
         NL = s.icfg.n_ls
         denoiser = self.denoiser
 
-        def run(states, film_flat):
+        def run(states, film_sum, film_w):
+            film_flat = film_sum[:P] / jnp.maximum(film_w[:P], 1.0)[..., None]
+            film_flat = spec.xyz_to_rgb(spec.rgb_to_xyz(film_flat))
             film = film_flat.reshape(H, W, 3)
             gbufs = (denoiser._gbuffers(states)
                      if hasattr(denoiser, "_gbuffers") else None)
