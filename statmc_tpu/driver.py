@@ -52,6 +52,7 @@ class RenderSetup:
     use_bvh: bool = True
     pixel_mask: Any = None  # [P] bool crop (integrator pixelbounds)
     sampler: str = "random"
+    albedo_luts: Any = None  # (lut_d [M,K], lut_rest [M,K]) or None
 
 
 def prepare(desc: SceneDescription, base_seed: int = 0,
@@ -113,13 +114,27 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
         )
 
     dist = make_distribution(scene_np, ecfg.light_strategy)
+    scene_dev = scene_np.to_device()
+
+    # Per-material reduced albedo curves (LUT reduction: every
+    # non-cos_theta dimension is constant per material row, mirroring
+    # material.cpp:134-255).  Used for the bounce-0 albedo G-buffer.
+    albedo_luts = None
+    if ecfg.configs[E.STAT_ALBEDO].enable:
+        from .render.albedo_lut import precompute_material_curves
+
+        albedo_luts = jax.jit(
+            lambda: precompute_material_curves(scene_dev)
+        )()
+
     return RenderSetup(
-        scene=scene_np.to_device(), bvh=bvh, dist=dist, cam=cam,
+        scene=scene_dev, bvh=bvh, dist=dist, cam=cam,
         icfg=icfg, ecfg=ecfg, width=width, height=height,
         filename=filename, base_seed=base_seed, use_bvh=use_bvh,
         pixel_mask=jnp.asarray(pixel_mask) if pixel_mask is not None
         else None,
         sampler=desc.sampler_name,
+        albedo_luts=albedo_luts,
     )
 
 
@@ -154,6 +169,7 @@ def make_sample_fn(setup: RenderSetup):
         out = trace(
             scene, bvh, dist, icfg, o, d, keys,
             avg_ls, win_b, win_l, feedback_on,
+            albedo_luts=setup.albedo_luts,
         )
         L = out.ls[:, 0, :]
         # STAT counters (core/stats.h macro equivalents; statpath.cpp:29-31):

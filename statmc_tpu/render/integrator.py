@@ -119,6 +119,7 @@ def trace(
     win_bsdf: Array,  # [P, NB] denoised MIS win rates
     win_light: Array,  # [P, NB]
     feedback_on: Array,  # scalar bool: iteration > 1 (ACRR/SMIS feedback live)
+    albedo_luts=None,  # per-material reduced curves (render/albedo_lut.py)
 ) -> SampleOutput:
     P = o0.shape[0]
     NL = cfg.n_ls
@@ -184,7 +185,15 @@ def trace(
         carry_mat = jnp.where(first, mat_feature, carry["mat_id"])
         carry_depth = jnp.where(first, hit.t, carry["depth"])
         carry_normal = jnp.where(first[..., None], hit.ns, carry["normal"])
-        alb = _approx_albedo(m, B.cos_theta(wo_l))
+        if albedo_luts is not None:
+            from .albedo_lut import albedo_from_curves
+
+            alb = albedo_from_curves(
+                albedo_luts[0], albedo_luts[1], hit.mat_id, m.kd,
+                B.cos_theta(wo_l),
+            )
+        else:
+            alb = _approx_albedo(m, B.cos_theta(wo_l))
         carry_albedo = jnp.where(first[..., None], alb, carry["albedo"])
 
         # --- next-event estimation --------------------------------------
