@@ -91,27 +91,35 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
         pixel_mask = ((xs >= pb[0]) & (xs < pb[1])
                       & (ys >= pb[2]) & (ys < pb[3]))
 
-    # Crossover measured on v5e: brute-force ray x triangle testing is
-    # pure dense VPU work (no gathers, no divergence) and beats the
-    # traversal up to several hundred triangles; beyond that the packed
-    # one-hot/take BVH walk wins (accel/onehot.py).  (SURVEY.md §7 hard
-    # part #3 -- traversal-shape optimization is the active perf
-    # workstream.)
-    use_bvh = (not force_dense) and scene_np.tri_p0.shape[0] > 512
+    # Accelerator selection (SURVEY.md §7 hard part #3).  The fused
+    # MXU kernel (accel/fused.py) holds the whole packed triangle table
+    # in VMEM and tests all pairs as matmuls -- no serial walk -- so it
+    # wins up to FUSED_MAX_TRIS.  Beyond that the packed one-hot/take
+    # BVH walk (accel/onehot.py) takes over.  force_dense keeps the
+    # plain XLA all-pairs path (render/intersect.py) for tests.
+    n_tris = scene_np.tri_p0.shape[0]
+    use_bvh = not force_dense and n_tris > 0
     bvh = None
     if use_bvh:
-        from .accel.bvh import build_bvh
-        from .accel.onehot import OneHotBVH
+        from .accel.fused import FUSED_MAX_TRIS, FusedTris
 
-        leaf = 8  # measured sweet spot on v5e (leaf-size sweep)
-        flat = build_bvh(
-            scene_np.tri_p0, scene_np.tri_e1, scene_np.tri_e2,
-            leaf_size=leaf,
-        )
-        bvh = OneHotBVH.from_flat(
-            flat, scene_np.tri_p0, scene_np.tri_e1, scene_np.tri_e2,
-            leaf_size=leaf,
-        )
+        if n_tris <= FUSED_MAX_TRIS:
+            bvh = FusedTris.from_tris(
+                scene_np.tri_p0, scene_np.tri_e1, scene_np.tri_e2
+            )
+        else:
+            from .accel.bvh import build_bvh
+            from .accel.onehot import OneHotBVH
+
+            leaf = 8  # measured sweet spot on v5e (leaf-size sweep)
+            flat = build_bvh(
+                scene_np.tri_p0, scene_np.tri_e1, scene_np.tri_e2,
+                leaf_size=leaf,
+            )
+            bvh = OneHotBVH.from_flat(
+                flat, scene_np.tri_p0, scene_np.tri_e1, scene_np.tri_e2,
+                leaf_size=leaf,
+            )
 
     dist = make_distribution(scene_np, ecfg.light_strategy)
     scene_dev = scene_np.to_device()
@@ -661,7 +669,8 @@ class Renderer:
         return logs
 
 
-def load(scene_path: str, base_seed: int = 0) -> Renderer:
+def load(scene_path: str, base_seed: int = 0,
+         force_dense: bool = False) -> Renderer:
     desc = parse_scene(scene_path)
-    setup = prepare(desc, base_seed)
+    setup = prepare(desc, base_seed, force_dense=force_dense)
     return Renderer(setup)

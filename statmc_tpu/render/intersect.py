@@ -273,8 +273,13 @@ def intersect_dense(scene: SceneTables, o: Array, d: Array,
 
 
 def _bvh_intersect(bvh, scene, o, d, t_max, any_hit=False):
-    """Dispatch over accelerator kinds: packed one-hot/take tables
+    """Dispatch over accelerator kinds: fused MXU dense tables
+    (accel/fused.FusedTris), packed one-hot/take tables
     (accel/onehot.OneHotBVH) or the legacy FlatBVH gather walk."""
+    if hasattr(bvh, "tri_table"):
+        from ..accel.fused import intersect_fused
+
+        return intersect_fused(bvh, o, d, t_max, any_hit=any_hit)
     if hasattr(bvh, "trav_table"):
         from ..accel.onehot import intersect_onehot
 
