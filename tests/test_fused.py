@@ -81,16 +81,18 @@ def test_pallas_kernel_interpret_matches_ref():
     R = 2 * F.RAY_TILE
     o, d = _random_rays(R, rng)
     t_max = jnp.full((R,), cm.INF)
-    rayf = F.ray_features(o, d)
+    raye, rayp, rayb = F.ray_features(o, d)
 
-    t_ref, id_ref = F._intersect_ref(ft.tri_table, rayf, t_max)
+    t_ref, id_ref = F._intersect_ref(ft, raye, rayp, t_max)
 
     G = R // F.RAY_TILE
-    rayf_g = rayf.reshape(G, F.RAY_TILE, F._K).transpose(0, 2, 1)
+    def tiles(x):
+        return x.reshape(G, F.RAY_TILE, F._K).transpose(0, 2, 1)
     tmax_g = t_max.reshape(G, F.RAY_TILE)
     t_p, id_p = F._intersect_pallas(
-        ft.tri_table, rayf_g, tmax_g,
-        n_tiles=ft.tri_table.shape[0], interpret=True,
+        ft.edge_table, ft.plane_table, ft.tile_bounds,
+        tiles(raye), tiles(rayp), tiles(rayb), tmax_g,
+        n_tiles=ft.edge_table.shape[0], interpret=True,
     )
     np.testing.assert_allclose(
         np.asarray(t_p).reshape(-1), np.asarray(t_ref), rtol=1e-6
@@ -115,7 +117,7 @@ def test_driver_picks_fused_and_renders():
         path = f.name
 
     r_fused = load(path)
-    assert hasattr(r_fused.s.bvh, "tri_table")
+    assert hasattr(r_fused.s.bvh, "edge_table")
     r_fused.render(iterations=1, verbose=False)
     img_fused = np.asarray(r_fused.film_mean)
 
