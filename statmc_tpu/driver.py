@@ -78,8 +78,17 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
         rr_threshold=ecfg.rr_threshold,
     )
 
-    fov = float(desc.camera_params.find_one("fov", 90.0))
-    cam = CAM.make_perspective(desc.camera_to_world, fov, width, height)
+    sw = desc.camera_params.find_floats("screenwindow")
+    if desc.camera_name == "orthographic":
+        cam = CAM.make_orthographic(desc.camera_to_world, width, height, sw)
+    elif desc.camera_name == "environment":
+        cam = CAM.make_environment(desc.camera_to_world, width, height)
+    else:
+        # perspective (realistic lens files are out of scope; pbrt's
+        # "realistic" falls back to a matching-fov perspective).
+        fov = float(desc.camera_params.find_one("fov", 90.0))
+        cam = CAM.make_perspective(desc.camera_to_world, fov, width,
+                                   height, sw)
 
     # pixelbounds crop (debug feature; statpath.cpp:967-980): pixels
     # outside the bounds trace but contribute nothing.

@@ -67,15 +67,17 @@ class MaterialLanes(NamedTuple):
 
 
 def gather_materials(scene: sb.SceneTables, mat_id: Array,
-                     uv: Array | None = None) -> MaterialLanes:
+                     uv: Array | None = None,
+                     p: Array | None = None) -> MaterialLanes:
     kd = scene.mat_kd[mat_id]
     if uv is not None:
         kd_tex = scene.mat_kd_tex[mat_id]
         # Textured Kd: base color is 1 for textured rows, so the product
-        # gives the texture value; untextured lanes sample 1.
+        # gives the texture value; untextured lanes sample 1.  p feeds
+        # the 3-D noise textures (fbm/marble/...).
         from ..scene.textures import sample_texture
 
-        kd = kd * sample_texture(scene.textures, kd_tex, uv)
+        kd = kd * sample_texture(scene.textures, kd_tex, uv, p)
     return MaterialLanes(
         mat_type=scene.mat_type[mat_id],
         kd=kd,

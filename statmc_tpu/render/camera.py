@@ -24,6 +24,66 @@ class CameraParams(NamedTuple):
     dx_camera: Array  # [3] differential basis (for MIPmap rays)
     dy_camera: Array  # [3]
     orthographic: bool
+    environment: bool = False
+    inv_res: Any = None  # [2] 1/xres, 1/yres (environment mapping)
+
+
+def _screen_to_raster(screen, xres, yres):
+    return (
+        cm.scale_mat([xres, yres, 1.0]).astype(np.float64)
+        @ cm.scale_mat(
+            [1.0 / (screen[1] - screen[0]),
+             1.0 / (screen[2] - screen[3]), 1.0]
+        ).astype(np.float64)
+        @ cm.translate([-screen[0], -screen[3], 0.0]).astype(np.float64)
+    )
+
+
+def _default_screen(xres, yres, screen_window):
+    frame = xres / yres
+    if screen_window is not None:
+        return np.asarray(screen_window, np.float64)
+    if frame > 1.0:
+        return np.array([-frame, frame, -1.0, 1.0])
+    return np.array([-1.0, 1.0, -1.0 / frame, 1.0 / frame])
+
+
+def make_orthographic(camera_to_world: np.ndarray, xres: int, yres: int,
+                      screen_window: np.ndarray | None = None
+                      ) -> CameraParams:
+    """src/cameras/orthographic.cpp: parallel rays along +z."""
+    screen = _default_screen(xres, yres, screen_window)
+    # camera_to_screen = Orthographic(0,1) = identity on x,y (z is only
+    # a depth remap pbrt never uses for ray generation).
+    raster_to_camera = np.linalg.inv(
+        _screen_to_raster(screen, xres, yres)
+    ).astype(np.float32)
+    p0 = cm.np_transform_point(raster_to_camera, np.zeros(3, np.float32))
+    px = cm.np_transform_point(raster_to_camera,
+                               np.array([1, 0, 0], np.float32))
+    py = cm.np_transform_point(raster_to_camera,
+                               np.array([0, 1, 0], np.float32))
+    return CameraParams(
+        raster_to_camera=jnp.asarray(raster_to_camera),
+        camera_to_world=jnp.asarray(camera_to_world.astype(np.float32)),
+        dx_camera=jnp.asarray((px - p0).astype(np.float32)),
+        dy_camera=jnp.asarray((py - p0).astype(np.float32)),
+        orthographic=True,
+    )
+
+
+def make_environment(camera_to_world: np.ndarray, xres: int, yres: int
+                     ) -> CameraParams:
+    """src/cameras/environment.cpp: latitude-longitude ray directions."""
+    return CameraParams(
+        raster_to_camera=jnp.eye(4),
+        camera_to_world=jnp.asarray(camera_to_world.astype(np.float32)),
+        dx_camera=jnp.zeros(3),
+        dy_camera=jnp.zeros(3),
+        orthographic=False,
+        environment=True,
+        inv_res=jnp.asarray([1.0 / xres, 1.0 / yres], jnp.float32),
+    )
 
 
 def make_perspective(camera_to_world: np.ndarray, fov_deg: float,
@@ -68,6 +128,16 @@ def make_perspective(camera_to_world: np.ndarray, fov_deg: float,
 
 def generate_rays(cam: CameraParams, p_film: Array) -> tuple[Array, Array]:
     """p_film: [R,2] raster coords (continuous). Returns (o, d) world."""
+    if cam.environment:
+        # environment.cpp:GenerateRay: theta over rows, phi over cols.
+        theta = jnp.pi * p_film[..., 1] * cam.inv_res[1]
+        phi = 2.0 * jnp.pi * p_film[..., 0] * cam.inv_res[0]
+        st, ct = jnp.sin(theta), jnp.cos(theta)
+        d_cam = jnp.stack([st * jnp.cos(phi), ct, st * jnp.sin(phi)], -1)
+        o_cam = jnp.zeros_like(d_cam)
+        o = cm.transform_point(cam.camera_to_world, o_cam)
+        d = cm.normalize(cm.transform_vector(cam.camera_to_world, d_cam))
+        return o, d
     p_raster = jnp.concatenate(
         [p_film, jnp.zeros(p_film.shape[:-1] + (1,))], axis=-1
     )

@@ -166,7 +166,7 @@ def trace(
         )
 
         shading = found & (b < cfg.max_depth)
-        m = B.gather_materials(scene, hit.mat_id, hit.uv)
+        m = B.gather_materials(scene, hit.mat_id, hit.uv, hit.p)
         null_mat = m.mat_type == sb.MAT_NONE
         # Null materials: pass through (the reference re-spawns without
         # counting the bounce, statpath.cpp:823-827; we consume a bounce,

@@ -47,6 +47,10 @@ def _light_power(scene: sb.SceneTables) -> np.ndarray:
         lum[kind == sb.LIGHT_AREA_SPH] * area[kind == sb.LIGHT_AREA_SPH] * np.pi
     )
     power[kind == sb.LIGHT_POINT] = 4.0 * np.pi * lum[kind == sb.LIGHT_POINT]
+    # Image-modulated point lights: 4pi I is the upper bound pbrt also
+    # uses before image averaging (goniometric.cpp:Power ~ average).
+    power[kind == sb.LIGHT_GONIO] = 4.0 * np.pi * lum[kind == sb.LIGHT_GONIO]
+    power[kind == sb.LIGHT_PROJ] = 2.0 * np.pi * lum[kind == sb.LIGHT_PROJ]
     power[kind == sb.LIGHT_SPOT] = (
         2.0 * np.pi * lum[kind == sb.LIGHT_SPOT]
     )

@@ -152,6 +152,40 @@ def sample_li(scene: sb.SceneTables, light_id: Array, ref_p: Array,
     )
     li_spot = li_p * falloff[..., None]
 
+    # ---- GONIOMETRIC / PROJECTION (image-modulated point lights) -----
+    # lights/goniometric.cpp:Scale and lights/projection.cpp:Projection:
+    # the outgoing direction in light space indexes an intensity image.
+    w2l = scene.light_w2l[light_id].reshape((-1, 3, 3))
+    tex_id = scene.light_tex[light_id]
+    w_out = jnp.einsum("rij,rj->ri", w2l, -wi_p)  # light -> ref, light space
+    from ..scene.textures import sample_texture
+
+    # Goniometric: spherical (theta, phi) of w_out -> (u, v).
+    theta = jnp.arccos(jnp.clip(w_out[..., 2], -1.0, 1.0))
+    phi_g = jnp.arctan2(w_out[..., 1], w_out[..., 0])
+    phi_g = jnp.where(phi_g < 0, phi_g + 2 * jnp.pi, phi_g)
+    uv_g = jnp.stack([phi_g / (2 * jnp.pi), theta / jnp.pi], axis=-1)
+    gain_g = sample_texture(scene.textures, tex_id, uv_g)
+    li_gonio = li_p * jnp.where((tex_id >= 0)[..., None], gain_g, 1.0)
+    # Projection: perspective divide onto the fov screen window.
+    tan_half = jnp.maximum(par[..., 0], 1e-6)
+    aspect = jnp.maximum(par[..., 1], 1e-6)
+    zl = w_out[..., 2]
+    safe_z = jnp.where(jnp.abs(zl) > 1e-6, zl, 1.0)
+    sx = w_out[..., 0] / (safe_z * tan_half)
+    sy = w_out[..., 1] / (safe_z * tan_half)
+    sw = jnp.where(aspect > 1.0, aspect, 1.0)
+    sh = jnp.where(aspect > 1.0, 1.0, 1.0 / aspect)
+    u_pr = (sx / sw + 1.0) * 0.5
+    v_pr = (sy / sh + 1.0) * 0.5
+    in_frustum = (zl > 1e-3) & (u_pr >= 0) & (u_pr <= 1) \
+        & (v_pr >= 0) & (v_pr <= 1)
+    gain_p = sample_texture(
+        scene.textures, tex_id, jnp.stack([u_pr, v_pr], axis=-1)
+    )
+    gain_p = jnp.where((tex_id >= 0)[..., None], gain_p, 1.0)
+    li_proj = li_p * jnp.where(in_frustum[..., None], gain_p, 0.0)
+
     # ---- DISTANT -----------------------------------------------------
     wi_d = pos  # stored direction toward light
     li_d = L
@@ -205,28 +239,33 @@ def sample_li(scene: sb.SceneTables, light_id: Array, ref_p: Array,
     is_spot = kind == sb.LIGHT_SPOT
     is_dist = kind == sb.LIGHT_DISTANT
     is_inf = kind == sb.LIGHT_INFINITE
+    is_gonio = kind == sb.LIGHT_GONIO
+    is_proj = kind == sb.LIGHT_PROJ
+    is_pointlike = is_pt | is_spot | is_gonio | is_proj
 
     wi = jnp.where(is_tri[..., None], wi_tn, 0.0)
     wi = jnp.where(is_sph[..., None], wi_sn, wi)
-    wi = jnp.where((is_pt | is_spot)[..., None], wi_p, wi)
+    wi = jnp.where(is_pointlike[..., None], wi_p, wi)
     wi = jnp.where(is_dist[..., None], wi_d, wi)
     wi = jnp.where(is_inf[..., None], wi_inf, wi)
 
     pdf = jnp.where(is_tri, pdf_t, 0.0)
     pdf = jnp.where(is_sph, pdf_sp, pdf)
-    pdf = jnp.where(is_pt | is_spot | is_dist, 1.0, pdf)
+    pdf = jnp.where(is_pointlike | is_dist, 1.0, pdf)
     pdf = jnp.where(is_inf, pdf_inf, pdf)
 
     li = jnp.where(is_tri[..., None], li_t, 0.0)
     li = jnp.where(is_sph[..., None], li_s, li)
     li = jnp.where(is_pt[..., None], li_p, li)
     li = jnp.where(is_spot[..., None], li_spot, li)
+    li = jnp.where(is_gonio[..., None], li_gonio, li)
+    li = jnp.where(is_proj[..., None], li_proj, li)
     li = jnp.where(is_dist[..., None], li_d, li)
     li = jnp.where(is_inf[..., None], li_env, li)
 
     dist = jnp.where(is_tri, dist_t, 0.0)
     dist = jnp.where(is_sph, dist_s, dist)
-    dist = jnp.where(is_pt | is_spot, dist_p, dist)
+    dist = jnp.where(is_pointlike, dist_p, dist)
     dist = jnp.where(is_dist, dist_d, dist)
     dist = jnp.where(is_inf, dist_inf, dist)
 
@@ -235,7 +274,7 @@ def sample_li(scene: sb.SceneTables, light_id: Array, ref_p: Array,
 
     return LightSample(
         wi=wi, pdf=pdf, li=li, p_light=p_l, dist=dist,
-        is_delta=is_pt | is_spot | is_dist,
+        is_delta=is_pointlike | is_dist,
     )
 
 

@@ -61,6 +61,8 @@ LIGHT_POINT = 2
 LIGHT_DISTANT = 3
 LIGHT_INFINITE = 4
 LIGHT_SPOT = 5
+LIGHT_GONIO = 6  # goniophotometric: point light x directional image
+LIGHT_PROJ = 7  # projection: point light x projected image
 
 # pbrt's default metal: copper (materials/metal.cpp defaults).
 _COPPER_ETA = np.array([0.2004376970, 0.9240539266, 1.1022119522], np.float32)
@@ -127,6 +129,8 @@ class SceneTables(NamedTuple):
     light_aux: Any  # [L,3] spot direction / aux
     light_params: Any  # [L,2] spot cos angles etc.
     light_area: Any  # [L] total surface area (area lights)
+    light_w2l: Any  # [L,9] world-to-light rotation (gonio/projection)
+    light_tex: Any  # [L] modulation texture id or -1 (gonio/projection)
     light_tri_index: Any  # [LT] flat triangle ids for all AREA_TRI lights
     light_tri_cdf: Any  # [LT] per-light normalized CDF over triangle area
     # Environment map (first infinite light with an image; 1x1 black else)
@@ -295,11 +299,65 @@ def build_scene(desc: SceneDescription) -> SceneTables:
             t1 = td.params.find_spectrum("tex1", np.ones(3, np.float32))
             t2 = td.params.find_spectrum("tex2", np.zeros(3, np.float32))
             return tex_builder.add_checker(t1, t2, us, vs)
+        if td.tex_class == "constant":
+            v = td.params.find_spectrum("value", np.ones(3, np.float32))
+            return tex_builder.add_constant(v)
         if td.tex_class == "scale":
-            # scale(tex1 * tex2): resolve the textured operand.
-            inner = td.params.find_one("tex1")
-            if isinstance(inner, str):
-                return resolve_texture(inner)
+            # scale = tex1 * tex2 (textures/scale.cpp); a textured
+            # operand becomes the child, constant operands fold.
+            t1 = td.params.find_one("tex1")
+            t2 = td.params.find_one("tex2")
+            if isinstance(t1, str):
+                child = resolve_texture(t1)
+                s = (td.params.find_spectrum("tex2", None)
+                     if not isinstance(t2, str) else None)
+                s = s if s is not None else np.ones(3, np.float32)
+                return tex_builder.add_scale(child, s)
+            if isinstance(t2, str):
+                child = resolve_texture(t2)
+                s = td.params.find_spectrum("tex1", np.ones(3, np.float32))
+                return tex_builder.add_scale(child, s)
+            s1 = td.params.find_spectrum("tex1", np.ones(3, np.float32))
+            s2 = td.params.find_spectrum("tex2", np.ones(3, np.float32))
+            return tex_builder.add_constant(s1 * s2)
+        if td.tex_class == "mix":
+            t1 = td.params.find_one("tex1")
+            t2 = td.params.find_one("tex2")
+            amt = float(td.params.find_one("amount", 0.5))
+            c0 = resolve_texture(t1) if isinstance(t1, str) else -1
+            c1 = resolve_texture(t2) if isinstance(t2, str) else -1
+            r0 = (td.params.find_spectrum("tex1", np.zeros(3, np.float32))
+                  if c0 < 0 else None)
+            r1 = (td.params.find_spectrum("tex2", np.ones(3, np.float32))
+                  if c1 < 0 else None)
+            return tex_builder.add_mix(c0, c1, amt, r0, r1)
+        if td.tex_class in ("fbm", "wrinkled", "windy", "marble"):
+            from .textures import (KIND_FBM, KIND_MARBLE, KIND_WINDY,
+                                   KIND_WRINKLED)
+
+            kind = {"fbm": KIND_FBM, "wrinkled": KIND_WRINKLED,
+                    "windy": KIND_WINDY, "marble": KIND_MARBLE}[td.tex_class]
+            return tex_builder.add_noise(
+                kind,
+                octaves=int(td.params.find_one("octaves", 8)),
+                omega=float(td.params.find_one("roughness", 0.5)),
+                scale=float(td.params.find_one("scale", 1.0)),
+                variation=float(td.params.find_one("variation", 0.2)),
+            )
+        if td.tex_class == "dots":
+            inside = td.params.find_spectrum("inside",
+                                             np.ones(3, np.float32))
+            outside = td.params.find_spectrum("outside",
+                                              np.zeros(3, np.float32))
+            return tex_builder.add_dots(inside, outside, us, vs)
+        if td.tex_class == "uv":
+            return tex_builder.add_uv(us, vs)
+        if td.tex_class == "bilerp":
+            v00 = td.params.find_spectrum("v00", np.zeros(3, np.float32))
+            v01 = td.params.find_spectrum("v01", np.ones(3, np.float32))
+            v10 = td.params.find_spectrum("v10", np.zeros(3, np.float32))
+            v11 = td.params.find_spectrum("v11", np.ones(3, np.float32))
+            return tex_builder.add_bilerp(v00, v01, v10, v11)
         return TEX_NONE
 
     tri_p, tri_n, tri_uv, tri_mat, tri_light, tri_hasn = [], [], [], [], [], []
@@ -333,8 +391,18 @@ def build_scene(desc: SceneDescription) -> SceneTables:
     for sd in desc.shapes:
         mid = material_id(sd.material)
         lid = add_area_light(sd.area_light) if sd.area_light is not None else -1
-        if sd.shape_type in ("trianglemesh", "plymesh"):
-            mesh = _load_mesh(sd)
+        if sd.shape_type not in ("sphere",):
+            if sd.shape_type in ("trianglemesh", "plymesh"):
+                mesh = _load_mesh(sd)
+            else:
+                # Every other pbrt shape plugin (disk/cylinder/cone/
+                # paraboloid/hyperboloid/curve/heightfield/loopsubdiv/
+                # nurbs) tessellates into the same flat triangle tables
+                # (scene/tessellate.py) -- the TPU wavefront has one
+                # intersector, not a virtual Shape graph.
+                from .tessellate import tessellate_shape
+
+                mesh = tessellate_shape(sd)
             if mesh is None:
                 continue
             P, N, UV, idx = mesh
@@ -387,10 +455,6 @@ def build_scene(desc: SceneDescription) -> SceneTables:
                 lights[lid]["kind"] = LIGHT_AREA_SPH
                 lights[lid]["prim"] = len(sph_c) - 1
                 lights[lid]["area"] = 4.0 * np.pi * sph_r[-1] ** 2
-        else:
-            # disk/curve/cone/...: tessellation TODO (not needed for the
-            # bundled self-contained scenes).
-            continue
 
     for ld in desc.lights:
         p = ld.params
@@ -451,6 +515,39 @@ def build_scene(desc: SceneDescription) -> SceneTables:
                 par=np.array([np.cos(np.radians(cone)),
                               np.cos(np.radians(cone - delta))], np.float32),
                 area=0.0, tris=[]))
+        elif ld.light_type in ("goniometric", "projection"):
+            # Point lights modulated by an image: by direction
+            # (lights/goniometric.cpp) or through a projector frustum
+            # (lights/projection.cpp).
+            I = p.find_spectrum("I", np.ones(3, np.float32))
+            scale = p.find_spectrum("scale", np.ones(3, np.float32))
+            pos = cm.np_transform_point(l2w, np.zeros(3, np.float32))
+            w2l = np.linalg.inv(l2w.astype(np.float64))[:3, :3]
+            mapname = p.find_one("mapname")
+            tex = -1
+            aspect = 1.0
+            if mapname is not None:
+                path = (mapname if os.path.isabs(mapname)
+                        else os.path.join(ld.cwd, mapname))
+                tex = tex_builder.add_image(path)
+                if tex >= 0:
+                    row = tex_builder.rows[tex]
+                    aspect = row["width"] / max(row["height"], 1)
+            if ld.light_type == "goniometric":
+                lights.append(dict(
+                    kind=LIGHT_GONIO, L=I * scale, prim=0, count=0,
+                    pos=pos, aux=np.zeros(3, np.float32),
+                    par=np.zeros(2, np.float32), area=0.0, tris=[],
+                    w2l=w2l.astype(np.float32).reshape(-1), tex=tex))
+            else:
+                fov = float(p.find_one("fov", 45.0))
+                lights.append(dict(
+                    kind=LIGHT_PROJ, L=I * scale, prim=0, count=0,
+                    pos=pos, aux=np.zeros(3, np.float32),
+                    par=np.array([np.tan(np.radians(fov) / 2), aspect],
+                                 np.float32),
+                    area=0.0, tris=[],
+                    w2l=w2l.astype(np.float32).reshape(-1), tex=tex))
 
     # Explode mesh area lights into one light per triangle (pbrt
     # semantics) and drop records whose shapes were skipped.
@@ -589,6 +686,12 @@ def build_scene(desc: SceneDescription) -> SceneTables:
                       if lights else np.zeros((0, 2), np.float32)),
         light_area=np.asarray([l["area"] for l in lights], np.float32)
         if lights else np.zeros((0,), np.float32),
+        light_w2l=(np.stack([
+            l.get("w2l", np.eye(3, dtype=np.float32).reshape(-1))
+            for l in lights]).astype(np.float32)
+            if lights else np.zeros((0, 9), np.float32)),
+        light_tex=(np.asarray([l.get("tex", -1) for l in lights], np.int32)
+                   if lights else np.zeros((0,), np.int32)),
         light_tri_index=np.asarray(lt_index, np.int32),
         light_tri_cdf=np.asarray(lt_cdf, np.float32),
         env_map=env_map,
