@@ -76,6 +76,8 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
         enable_smis=ecfg.enable_smis,
         enable_acrr=ecfg.enable_acrr,
         rr_threshold=ecfg.rr_threshold,
+        sampler_mode=crng.SAMPLER_MODES.get(desc.sampler_name,
+                                            crng.MODE_RANDOM),
     )
 
     sw = desc.camera_params.find_floats("screenwindow")
@@ -170,14 +172,14 @@ def make_sample_fn(setup: RenderSetup):
         px = (pixel_ids % W).astype(jnp.float32)
         py = (pixel_ids // W).astype(jnp.float32)
         keys = crng.pixel_keys(base_key, pixel_ids, sample_index)
-        if setup.sampler in ("stratified", "02sequence", "lowdiscrepancy",
-                            "sobol", "halton", "maxmindist"):
-            # Low-discrepancy film jitter: scrambled (0,2)-sequence over
-            # the global sample index (pbrt zerotwosequence-equivalent).
+        mode = icfg.sampler_mode
+        ld = None
+        if mode != crng.MODE_RANDOM:
+            # Low-discrepancy streams over every draw site: pixel-stable
+            # scramble keys + the global sample index (core/rng.py).
             scr = crng.pixel_scramble(base_key, pixel_ids)
-            u_cam = crng.ld_camera_jitter(scr, sample_index)
-        else:
-            u_cam = crng.uniform_2d(keys, 0, crng.SLOT_CAMERA)
+            ld = (scr, sample_index)
+        u_cam = crng.draw_2d(keys, ld, mode, 0, crng.SLOT_CAMERA)
         # Box filter, radius 0.5: each sample lands in its own pixel
         # with weight 1 (api.cpp:1703-1727 enforces this for statpath;
         # film accumulation degenerates to per-pixel averaging).
@@ -187,6 +189,7 @@ def make_sample_fn(setup: RenderSetup):
             scene, bvh, dist, icfg, o, d, keys,
             avg_ls, win_b, win_l, feedback_on,
             albedo_luts=setup.albedo_luts,
+            ld_stream=ld,
         )
         L = out.ls[:, 0, :]
         # STAT counters (core/stats.h macro equivalents; statpath.cpp:29-31):

@@ -49,6 +49,7 @@ class IntegratorConfig(NamedTuple):
     enable_acrr: bool = False
     rr_threshold: float = 1.0
     rr_start_bounce: int = 4  # reference: RR from the 5th bounce (b > 3)
+    sampler_mode: int = 0  # core/rng.py MODE_*: random / (0,2)-seq / halton
     enable_nee: bool = True  # False = brute-force BSDF-only estimator
     # (not a reference feature; used as an independent ground truth for
     # validating the NEE+MIS estimator in tests)
@@ -120,6 +121,7 @@ def trace(
     win_light: Array,  # [P, NB]
     feedback_on: Array,  # scalar bool: iteration > 1 (ACRR/SMIS feedback live)
     albedo_luts=None,  # per-material reduced curves (render/albedo_lut.py)
+    ld_stream=None,  # (pixel scramble keys [P,2], sample index): LD modes
 ) -> SampleOutput:
     P = o0.shape[0]
     NL = cfg.n_ls
@@ -202,9 +204,9 @@ def trace(
         if not cfg.enable_nee:
             nee = jnp.zeros_like(nee)
 
-        u_sel = crng.uniform_1d(keys, b, crng.SLOT_LIGHT_SELECT)
+        u_sel = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, b, crng.SLOT_LIGHT_SELECT)
         light_id, sel_pmf = sample_light_id(dist, u_sel, hit.p)
-        u_light = crng.uniform_2d(keys, b, crng.SLOT_LIGHT_SAMPLE)
+        u_light = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, b, crng.SLOT_LIGHT_SAMPLE)
         p_off_wi = hit.p  # offset applied per ray below
 
         lsamp = LT.sample_li(scene, light_id, hit.p, hit.ng, u_light)
@@ -224,8 +226,8 @@ def trace(
         contr_l = f_l * li_l / jnp.maximum(lsamp.pdf, 1e-30)[..., None]
 
         # BSDF half of EstimateDirect.
-        u_bs = crng.uniform_2d(keys, b, crng.SLOT_BSDF_NEE)
-        uc_bs = crng.uniform_1d(keys, b, crng.SLOT_BSDF_COMPONENT)
+        u_bs = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, b, crng.SLOT_BSDF_NEE)
+        uc_bs = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, b, crng.SLOT_BSDF_COMPONENT)
         bsmp = B.sample(m, wo_l, u_bs, uc_bs)
         wi2 = frame.to_world(bsmp.wi)
         f_b = bsmp.f * cm.absdot(wi2, hit.ns)[..., None]
@@ -311,8 +313,8 @@ def trace(
         mis_light = carry["mis_light"].at[:, bidx].add(sm * inc_lt)
 
         # --- BSDF sampling for path continuation ------------------------
-        u_pc = crng.uniform_2d(keys, b, crng.SLOT_BSDF)
-        uc_pc = crng.uniform_1d(keys, b, crng.SLOT_BSDF_COMPONENT_PC)
+        u_pc = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, b, crng.SLOT_BSDF)
+        uc_pc = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, b, crng.SLOT_BSDF_COMPONENT_PC)
         psmp = B.sample(m, wo_l, u_pc, uc_pc)
         wi_c = frame.to_world(psmp.wi)
         bsdf_beta = (
@@ -359,7 +361,7 @@ def trace(
         )
         survival = rr_beta_max * avg
         q = jnp.maximum(0.05, 1.0 - survival)
-        u_rr = crng.uniform_1d(keys, b, crng.SLOT_RR)
+        u_rr = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, b, crng.SLOT_RR)
         do_rr = rr_here & active & (survival < cfg.rr_threshold)
         killed = do_rr & (u_rr < q)
         active = active & ~killed
