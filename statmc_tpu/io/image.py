@@ -179,3 +179,35 @@ def read_png(path: str) -> np.ndarray:
         elif nch == 4:
             arr = arr[..., :3]
         return srgb_to_linear(arr[..., :3])
+
+
+def linear_to_srgb(x: np.ndarray) -> np.ndarray:
+    x = np.clip(x, 0.0, 1.0)
+    return np.where(x <= 0.0031308, 12.92 * x,
+                    1.055 * np.power(x, 1 / 2.4) - 0.055)
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Minimal RGB8 PNG writer (sRGB-encoded); inverse of read_png's
+    happy path.  Replaces the reference's lodepng output
+    (core/imageio.cpp WriteImage -> lodepng for .png)."""
+    import struct
+    import zlib
+
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, -1)
+    h, w = img.shape[:2]
+    u8 = (linear_to_srgb(img[..., :3]) * 255.0 + 0.5).astype(np.uint8)
+    raw = b"".join(b"\x00" + u8[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))

@@ -16,6 +16,13 @@ Materials covered (matching src/materials/*.cpp construction):
   translucent-> Lambertian approximation (full two-sided lobes TODO)
   mirror     -> specular reflection (Kr)
   glass      -> specular reflection+transmission, Fresnel dielectric
+  disney     -> Burley diffuse x (1-metallic) + GGX w/ Schlick-to-color
+  hair       -> absorption-colored diffuse + broad gloss (Marschner
+                longitudinal/azimuthal product approximated; hair.cpp)
+  fourier    -> substrate-like fallback (table files not read)
+  kd/subsurface -> diffuse-albedo + dielectric coat approximation of
+                the BSSRDF transport (never exercised by statpath)
+  mix        -> folded at scene build (scene/build.py:_mix_rows)
 """
 from __future__ import annotations
 
@@ -401,17 +408,48 @@ def evaluate(m: MaterialLanes, wo: Array, wi: Array) -> tuple[Array, Array]:
     substrate_f = _fresnel_blend_f(m.kd, m.ks, wo, wi, ax, ay)
     substrate_pdf = 0.5 * (lam_pdf + mf_pdf)
 
+    # Disney principled (materials/disney.cpp, main lobes): Burley
+    # retro-reflective diffuse weighted by (1-metallic) + GGX specular
+    # with Schlick Fresnel toward the base color.  metallic rides the
+    # sigma slot (scene/build.py).
+    metallic = jnp.clip(m.sigma, 0.0, 1.0)[..., None]
+    rough_lin = jnp.sqrt(ax)[..., None]  # alpha = roughness^2 at build
+    cosd = cm.dot(wi, wh)
+    co_a = jnp.maximum(abs_cos_theta(wo), 1e-7)
+    ci_a = jnp.maximum(ci, 1e-7)
+    fl = (1.0 - ci_a) ** 5
+    fv = (1.0 - co_a) ** 5
+    fd90 = (0.5 + 2.0 * rough_lin * (cosd**2)[..., None])
+    burley = m.kd * INV_PI * (1.0 + (fd90 - 1.0) * fl[..., None]) \
+        * (1.0 + (fd90 - 1.0) * fv[..., None])
+    f0 = 0.04 * (1.0 - metallic) + m.kd * metallic
+    f_schlick = f0 + (1.0 - f0) * ((1.0 - jnp.abs(cosd)) ** 5)[..., None]
+    disney_spec = _microfacet_reflection_f(wo, wi, ax, ay, f_schlick)
+    disney_f = (1.0 - metallic) * burley + disney_spec
+    disney_pdf = 0.5 * (lam_pdf + mf_pdf)
+
+    # Hair (materials/hair.cpp approximation, see scene/build.py): an
+    # absorption-colored diffuse base + a broad glossy lobe of width
+    # beta_n^2 replaces the Marschner longitudinal/azimuthal product.
+    hair_f = m.kd * INV_PI + _microfacet_reflection_f(
+        wo, wi, ax, ay, jnp.broadcast_to(m.ks, m.kd.shape))
+    hair_pdf = 0.5 * (lam_pdf + mf_pdf)
+
     t = m.mat_type
     f = jnp.zeros_like(m.kd)
     pdf = jnp.zeros_like(ci)
     for mt, ff, pp in (
         (sb.MAT_MATTE, matte_f, lam_pdf),
         (sb.MAT_TRANSLUCENT, matte_f, lam_pdf),
-        (sb.MAT_DISNEY, matte_f, lam_pdf),
+        (sb.MAT_DISNEY, disney_f, disney_pdf),
         (sb.MAT_PLASTIC, plastic_f, plastic_pdf),
         (sb.MAT_UBER, plastic_f, plastic_pdf),
         (sb.MAT_METAL, metal_f, mf_pdf),
         (sb.MAT_SUBSTRATE, substrate_f, substrate_pdf),
+        (sb.MAT_FOURIER, substrate_f, substrate_pdf),
+        (sb.MAT_KDSUBSURFACE, plastic_f, plastic_pdf),
+        (sb.MAT_SUBSURFACE, plastic_f, plastic_pdf),
+        (sb.MAT_HAIR, hair_f, hair_pdf),
     ):
         sel = t == mt
         f = jnp.where(sel[..., None], ff, f)
@@ -482,10 +520,12 @@ def sample(m: MaterialLanes, wo: Array, u2: Array, uc: Array) -> BSDFSample:
     wi_refr = -wo * eta_rel[..., None] + (eta_rel * ci - ct)[..., None] * n_loc
 
     t = m.mat_type
-    diffuse_like = (
-        (t == sb.MAT_MATTE) | (t == sb.MAT_TRANSLUCENT) | (t == sb.MAT_DISNEY)
+    two_lobe = (
+        (t == sb.MAT_PLASTIC) | (t == sb.MAT_UBER)
+        | (t == sb.MAT_SUBSTRATE) | (t == sb.MAT_DISNEY)
+        | (t == sb.MAT_HAIR) | (t == sb.MAT_FOURIER)
+        | (t == sb.MAT_KDSUBSURFACE) | (t == sb.MAT_SUBSURFACE)
     )
-    two_lobe = (t == sb.MAT_PLASTIC) | (t == sb.MAT_UBER) | (t == sb.MAT_SUBSTRATE)
     metal = t == sb.MAT_METAL
     mirror = t == sb.MAT_MIRROR
     glass = (t == sb.MAT_GLASS) & (m.rough_u < 1e-4)

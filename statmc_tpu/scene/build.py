@@ -39,6 +39,10 @@ MAT_SUBSTRATE = 6
 MAT_UBER = 7
 MAT_TRANSLUCENT = 8
 MAT_DISNEY = 9
+MAT_HAIR = 10
+MAT_FOURIER = 11
+MAT_KDSUBSURFACE = 12
+MAT_SUBSURFACE = 13
 
 _MAT_ENUM = {
     "none": MAT_NONE,
@@ -52,6 +56,13 @@ _MAT_ENUM = {
     "uber": MAT_UBER,
     "translucent": MAT_TRANSLUCENT,
     "disney": MAT_DISNEY,
+    "hair": MAT_HAIR,
+    "fourier": MAT_FOURIER,
+    "kdsubsurface": MAT_KDSUBSURFACE,
+    "subsurface": MAT_SUBSURFACE,
+    # "mix" is folded at build time (parameter-space lerp of the two
+    # named children, materials/mixmat.cpp approximated; exact when the
+    # children share a family).
 }
 
 # Light kind enum.
@@ -263,7 +274,71 @@ def _material_row(md: MaterialDesc | None, textures) -> dict:
         )
         if mtype == MAT_DISNEY:
             row["kd"] = spectrum("color", [0.5, 0.5, 0.5])
+            # Disney metallic rides the (otherwise unused) sigma slot.
+            row["sigma"] = scalar("metallic", 0.0)
+            rough = scalar("roughness", 0.5)
+            # Disney roughness is perceptual: alpha = roughness^2.
+            row["rough_u"] = row["rough_v"] = max(rough * rough, 1e-3)
+    elif mtype == MAT_HAIR:
+        # materials/hair.cpp: sigma_a / color / eumelanin concentration.
+        # The full Marschner azimuthal/longitudinal model (hair.cpp:
+        # HairBSDF) is approximated by a diffuse+glossy lobe pair whose
+        # color comes from the absorption coefficient; beta_n drives the
+        # gloss width.
+        sig = p.find_spectrum("sigma_a")
+        col = p.find_spectrum("color")
+        if col is None and sig is not None:
+            col = np.exp(-np.asarray(sig, np.float32) * 0.6)
+        if col is None:
+            eum = scalar("eumelanin", 1.3)
+            # pbrt HairBSDF::SigmaAFromConcentration eumelanin row.
+            sig = eum * np.array([0.419, 0.697, 1.37], np.float32)
+            col = np.exp(-sig * 1.5)
+        row["kd"] = np.asarray(col, np.float32)
+        row["ks"] = 0.2 * np.ones(3, np.float32)
+        bn = scalar("beta_n", 0.3)
+        row["rough_u"] = row["rough_v"] = max(bn * bn, 1e-3)
+    elif mtype == MAT_FOURIER:
+        # FourierBSDF table files (materials/fourier.cpp) are not read;
+        # lanes fall back to a mid-gloss substrate-like lobe pair.
+        row["kd"] = np.array([0.5, 0.5, 0.5], np.float32)
+        row["ks"] = np.array([0.3, 0.3, 0.3], np.float32)
+        row["rough_u"] = row["rough_v"] = 0.05
+    elif mtype == MAT_KDSUBSURFACE:
+        # kdsubsurface: BSSRDF transport approximated by its diffuse
+        # albedo + dielectric coat (materials/kdsubsurface.cpp params).
+        row["kd"] = spectrum("Kd", [0.5, 0.5, 0.5])
+        row["ks"] = spectrum("Kr", [1.0, 1.0, 1.0]) * 0.04
+        row["eta"] = np.full(3, scalar("eta", 1.33), np.float32)
+        rough = scalar("uroughness", scalar("roughness", 0.05))
+        row["rough_u"] = row["rough_v"] = max(rough, 1e-3)
+    elif mtype == MAT_SUBSURFACE:
+        # subsurface: single-scattering albedo sigma_s/(sigma_s+sigma_a)
+        # stands in for the BSSRDF diffusion profile.
+        ss = spectrum("sigma_s", [2.55, 3.21, 3.77])
+        sa = spectrum("sigma_a", [0.0011, 0.0024, 0.014])
+        row["kd"] = (ss / np.maximum(ss + sa, 1e-6)).astype(np.float32)
+        row["ks"] = 0.04 * np.ones(3, np.float32)
+        row["eta"] = np.full(3, scalar("eta", 1.33), np.float32)
+        rough = scalar("uroughness", scalar("roughness", 0.05))
+        row["rough_u"] = row["rough_v"] = max(rough, 1e-3)
     return row
+
+
+def _mix_rows(r1: dict, r2: dict, amount: np.ndarray) -> dict:
+    """Fold a mix material: parameter-space lerp of the children
+    (materials/mixmat.cpp scales child BxDFs by amt / (1-amt); a lerp of
+    parameter rows is exact for same-family children and a documented
+    approximation across families -- the dominant child's type wins)."""
+    a = float(np.mean(amount))
+    out = dict(r1 if a >= 0.5 else r2)
+    w1, w2 = a, 1.0 - a
+    for key in ("kd", "ks", "kr", "kt", "eta", "k"):
+        out[key] = (w1 * np.asarray(r1[key], np.float32)
+                    + w2 * np.asarray(r2[key], np.float32))
+    for key in ("rough_u", "rough_v", "sigma"):
+        out[key] = w1 * float(r1[key]) + w2 * float(r2[key])
+    return out
 
 
 def _remap_roughness(rough: float) -> float:
@@ -370,7 +445,16 @@ def build_scene(desc: SceneDescription) -> SceneTables:
         key = id(md)
         if key in mat_cache:
             return mat_cache[key]
-        row = _material_row(md, desc.textures)
+        if md is not None and md.mat_type == "mix":
+            n1 = md.params.find_one("namedmaterial1")
+            n2 = md.params.find_one("namedmaterial2")
+            amt = md.params.find_spectrum("amount",
+                                          np.full(3, 0.5, np.float32))
+            r1 = _material_row(desc.named_materials.get(n1), desc.textures)
+            r2 = _material_row(desc.named_materials.get(n2), desc.textures)
+            row = _mix_rows(r1, r2, amt)
+        else:
+            row = _material_row(md, desc.textures)
         mat_rows.append(row)
         mat_cache[key] = len(mat_rows) - 1
         return mat_cache[key]
