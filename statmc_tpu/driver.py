@@ -67,19 +67,6 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
         desc.integrator_params, desc.extra_params, pixel_samples
     )
 
-    rad = ecfg.configs[E.RADIANCE]
-    icfg = IntegratorConfig(
-        max_depth=ecfg.max_depth,
-        n_ls=max(rad.bounce_end, 1),
-        nb_mis=ecfg.configs[E.MIS_BSDF_WIN_RATE].bounce_end
-        if ecfg.enable_smis else 0,
-        enable_smis=ecfg.enable_smis,
-        enable_acrr=ecfg.enable_acrr,
-        rr_threshold=ecfg.rr_threshold,
-        sampler_mode=crng.SAMPLER_MODES.get(desc.sampler_name,
-                                            crng.MODE_RANDOM),
-    )
-
     sw = desc.camera_params.find_floats("screenwindow")
     if desc.camera_name == "orthographic":
         cam = CAM.make_orthographic(desc.camera_to_world, width, height, sw)
@@ -91,6 +78,38 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
         fov = float(desc.camera_params.find_one("fov", 90.0))
         cam = CAM.make_perspective(desc.camera_to_world, fov, width,
                                    height, sw)
+
+    # Ray-cone constants (replacing RayDifferential texture filtering):
+    # measure the one-pixel origin offset (ortho footprint) and angular
+    # spread (perspective/environment) numerically from two adjacent
+    # rays, then apply the reference's 1/sqrt(spp) differential scale
+    # (statpath.cpp:301-303) using the base iteration's sample count.
+    c = width * height // 2 + width // 2
+    probe = jnp.asarray(
+        [[c % width + 0.5, c // width + 0.5],
+         [c % width + 1.5, c // width + 0.5]], jnp.float32)
+    o_pr, d_pr = CAM.generate_rays(cam, probe)
+    o_pr, d_pr = np.asarray(o_pr), np.asarray(d_pr)
+    diff_scale = 1.0 / np.sqrt(max(pixel_samples, 1))
+    cone0 = float(np.linalg.norm(o_pr[1] - o_pr[0])) * diff_scale
+    cone_spread = float(
+        np.arccos(np.clip(np.dot(d_pr[0], d_pr[1]), -1.0, 1.0))
+    ) * diff_scale
+
+    rad = ecfg.configs[E.RADIANCE]
+    icfg = IntegratorConfig(
+        max_depth=ecfg.max_depth,
+        n_ls=max(rad.bounce_end, 1),
+        nb_mis=ecfg.configs[E.MIS_BSDF_WIN_RATE].bounce_end
+        if ecfg.enable_smis else 0,
+        enable_smis=ecfg.enable_smis,
+        enable_acrr=ecfg.enable_acrr,
+        rr_threshold=ecfg.rr_threshold,
+        sampler_mode=crng.SAMPLER_MODES.get(desc.sampler_name,
+                                            crng.MODE_RANDOM),
+        cone0=cone0,
+        cone_spread=cone_spread,
+    )
 
     # pixelbounds crop (debug feature; statpath.cpp:967-980): pixels
     # outside the bounds trace but contribute nothing.

@@ -75,7 +75,8 @@ class MaterialLanes(NamedTuple):
 
 def gather_materials(scene: sb.SceneTables, mat_id: Array,
                      uv: Array | None = None,
-                     p: Array | None = None) -> MaterialLanes:
+                     p: Array | None = None,
+                     uv_fp: Array | None = None) -> MaterialLanes:
     kd = scene.mat_kd[mat_id]
     if uv is not None:
         kd_tex = scene.mat_kd_tex[mat_id]
@@ -84,7 +85,7 @@ def gather_materials(scene: sb.SceneTables, mat_id: Array,
         # the 3-D noise textures (fbm/marble/...).
         from ..scene.textures import sample_texture
 
-        kd = kd * sample_texture(scene.textures, kd_tex, uv, p)
+        kd = kd * sample_texture(scene.textures, kd_tex, uv, p, uv_fp)
     return MaterialLanes(
         mat_type=scene.mat_type[mat_id],
         kd=kd,

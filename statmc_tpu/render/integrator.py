@@ -50,6 +50,12 @@ class IntegratorConfig(NamedTuple):
     rr_threshold: float = 1.0
     rr_start_bounce: int = 4  # reference: RR from the 5th bounce (b > 3)
     sampler_mode: int = 0  # core/rng.py MODE_*: random / (0,2)-seq / halton
+    cone0: float = 0.0  # ray-cone width at the origin (ortho pixel size)
+    cone_spread: float = 0.0  # ray-cone growth per unit distance
+    # Ray cones replace pbrt's per-ray differential vectors
+    # (core/camera.h:RayDifferential, scaled 1/sqrt(spp) at
+    # statpath.cpp:301-303 -- folded into cone_spread at prepare()):
+    # the cone width at a hit drives the MIPmap trilinear level.
     enable_nee: bool = True  # False = brute-force BSDF-only estimator
     # (not a reference feature; used as an independent ground truth for
     # validating the NEE+MIS estimator in tests)
@@ -142,6 +148,7 @@ def trace(
         albedo=jnp.zeros((P, 3)),
         n_rays=jnp.zeros((P,)),
         path_len=jnp.zeros((P,)),
+        cum_t=jnp.zeros((P,)),
     )
 
     bounce_ids = jnp.arange(cfg.max_depth + 1)
@@ -168,7 +175,10 @@ def trace(
         )
 
         shading = found & (b < cfg.max_depth)
-        m = B.gather_materials(scene, hit.mat_id, hit.uv, hit.p)
+        cum_t = carry["cum_t"] + jnp.where(found, hit.t, 0.0)
+        cone_w = cfg.cone0 + cfg.cone_spread * cum_t
+        m = B.gather_materials(scene, hit.mat_id, hit.uv, hit.p,
+                               uv_fp=cone_w * hit.uv_density)
         null_mat = m.mat_type == sb.MAT_NONE
         # Null materials: pass through (the reference re-spawns without
         # counting the bounce, statpath.cpp:823-827; we consume a bounce,
@@ -383,7 +393,7 @@ def trace(
             mis_bsdf=mis_bsdf, mis_light=mis_light,
             mat_id=carry_mat, depth=carry_depth,
             normal=carry_normal, albedo=carry_albedo, n_rays=n_rays,
-            path_len=path_len,
+            path_len=path_len, cum_t=cum_t,
         )
         return new_carry, None
 

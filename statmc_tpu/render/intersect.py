@@ -41,6 +41,7 @@ class Hit(NamedTuple):
     uv: Any  # [R,2]
     mat_id: Any  # [R]
     light_id: Any  # [R] area-light id or -1
+    uv_density: Any  # [R] sqrt(uv area / world area): ray-cone LOD factor
 
     @property
     def found(self):
@@ -138,6 +139,12 @@ def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx) -> Hit:
         )
         ns_t = jnp.where(hasn[:, None], ns_t, ng_t)
         uv_t = w[:, None] * uv0 + u[:, None] * uv1 + v[:, None] * uv2
+        uv_area = jnp.abs(
+            (uv1 - uv0)[:, 0] * (uv2 - uv0)[:, 1]
+            - (uv1 - uv0)[:, 1] * (uv2 - uv0)[:, 0]
+        )
+        w_area = cm.length(jnp.cross(e1, e2))
+        dens_t = jnp.sqrt(uv_area / jnp.maximum(w_area, 1e-12))
     if has_sph:
         cen = scene.sph_center[sph_idx]
         ng_s = cm.normalize(p - cen)
@@ -149,6 +156,9 @@ def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx) -> Hit:
         )
         mat_s = scene.sph_mat[sph_idx]
         light_s = scene.sph_light[sph_idx]
+        rad = scene.sph_radius[sph_idx]
+        dens_s = 1.0 / jnp.sqrt(jnp.maximum(
+            4.0 * jnp.pi * rad * rad, 1e-12))
 
     if has_tris and has_sph:
         is_t = (kind == PRIM_TRI)[:, None]
@@ -157,15 +167,17 @@ def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx) -> Hit:
         uv = jnp.where(is_t, uv_t, uv_s)
         mat = jnp.where(kind == PRIM_TRI, mat_t, mat_s)
         light = jnp.where(kind == PRIM_TRI, light_t, light_s)
+        dens = jnp.where(kind == PRIM_TRI, dens_t, dens_s)
     elif has_tris:
-        ng, ns, uv, mat, light = ng_t, ns_t, uv_t, mat_t, light_t
+        ng, ns, uv, mat, light, dens = ng_t, ns_t, uv_t, mat_t, light_t, dens_t
     elif has_sph:
-        ng, ns, uv, mat, light = ng_s, ns_s, uv_s, mat_s, light_s
+        ng, ns, uv, mat, light, dens = ng_s, ns_s, uv_s, mat_s, light_s, dens_s
     else:
         ng = ns = jnp.zeros((R, 3))
         uv = jnp.zeros((R, 2))
         mat = jnp.zeros((R,), jnp.int32)
         light = -jnp.ones((R,), jnp.int32)
+        dens = jnp.zeros((R,))
 
     miss = kind == PRIM_NONE
     return Hit(
@@ -178,6 +190,7 @@ def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx) -> Hit:
         uv=uv,
         mat_id=jnp.where(miss, 0, mat),
         light_id=jnp.where(miss, -1, light),
+        uv_density=jnp.where(miss, 0.0, dens),
     )
 
 

@@ -34,6 +34,7 @@ import numpy as np
 Array = jax.Array
 
 TEX_NONE = -1
+MAX_MIP = 12  # mip chain cap (4096x4096 fully reduced)
 # Kinds for evaluated textures.
 KIND_IMAGE = 0
 KIND_CHECKER = 1
@@ -62,6 +63,10 @@ class TextureTable(NamedTuple):
     tex_uvscale: Array  # [N,2] uscale, vscale
     tex_par: Array  # [N,4] octaves, omega/roughness, scale, variation
     tex_child: Array  # [N,2] child texture ids for scale/mix (-1 none)
+    tex_mip_offset: Array  # [N,MAX_MIP] per-level atlas offsets
+    tex_mip_w: Array  # [N,MAX_MIP]
+    tex_mip_h: Array  # [N,MAX_MIP]
+    tex_n_mips: Array  # [N]
     has_children: bool  # static: any scale/mix rows present
 
     @staticmethod
@@ -79,6 +84,10 @@ class TextureTable(NamedTuple):
             tex_uvscale=jnp.ones((1, 2)),
             tex_par=jnp.zeros((1, 4)),
             tex_child=-jnp.ones((1, 2), jnp.int32),
+            tex_mip_offset=jnp.zeros((1, MAX_MIP), jnp.int32),
+            tex_mip_w=jnp.ones((1, MAX_MIP), jnp.int32),
+            tex_mip_h=jnp.ones((1, MAX_MIP), jnp.int32),
+            tex_n_mips=jnp.ones((1,), jnp.int32),
             has_children=False,
         )
 
@@ -97,6 +106,10 @@ class TextureTableBuilder:
             uv=np.ones(2, np.float32),
             par=np.zeros(4, np.float32),
             child=np.array([-1, -1], np.int32),
+            mip_offset=np.zeros(MAX_MIP, np.int32),
+            mip_w=np.ones(MAX_MIP, np.int32),
+            mip_h=np.ones(MAX_MIP, np.int32),
+            n_mips=1,
         )
         row.update(kw)
         self.rows.append(row)
@@ -112,11 +125,34 @@ class TextureTableBuilder:
             img = read_image(path)
         except (OSError, ValueError):
             return TEX_NONE
-        offset = sum(t.shape[0] for t in self.texels)
-        self.texels.append(img.reshape(-1, 3).astype(np.float32))
+        # MIP pyramid (core/mipmap.h): box-filtered power-of-two chain,
+        # all levels appended to the flat atlas.  Level offsets/sizes go
+        # in tex_mip_offset/tex_mip_size rows; trilinear lookups blend
+        # two levels by the ray-cone footprint (sample_texture).
+        levels = [img.astype(np.float32)]
+        while min(levels[-1].shape[0], levels[-1].shape[1]) > 1:
+            src = levels[-1]
+            h2, w2 = max(src.shape[0] // 2, 1), max(src.shape[1] // 2, 1)
+            src = src[: h2 * 2, : w2 * 2]
+            down = 0.25 * (src[0::2, 0::2] + src[1::2, 0::2]
+                           + src[0::2, 1::2] + src[1::2, 1::2])
+            levels.append(down)
+        levels = levels[:MAX_MIP]
+        mo = np.zeros((MAX_MIP,), np.int32)
+        mw = np.ones((MAX_MIP,), np.int32)
+        mh = np.ones((MAX_MIP,), np.int32)
+        for li, lvl in enumerate(levels):
+            mo[li] = sum(t.shape[0] for t in self.texels)
+            mw[li] = lvl.shape[1]
+            mh[li] = lvl.shape[0]
+            self.texels.append(lvl.reshape(-1, 3))
+        mo[len(levels):] = mo[len(levels) - 1]
+        mw[len(levels):] = mw[len(levels) - 1]
+        mh[len(levels):] = mh[len(levels) - 1]
         tid = self._row(
-            KIND_IMAGE, offset=offset, width=img.shape[1],
+            KIND_IMAGE, offset=int(mo[0]), width=img.shape[1],
             height=img.shape[0], uv=np.array([uscale, vscale], np.float32),
+            mip_offset=mo, mip_w=mw, mip_h=mh, n_mips=len(levels),
         )
         self._cache[key] = tid
         return tid
@@ -197,6 +233,12 @@ class TextureTableBuilder:
             tex_uvscale=jnp.asarray(np.stack([r["uv"] for r in self.rows])),
             tex_par=jnp.asarray(np.stack([r["par"] for r in self.rows])),
             tex_child=jnp.asarray(np.stack([r["child"] for r in self.rows])),
+            tex_mip_offset=jnp.asarray(
+                np.stack([r["mip_offset"] for r in self.rows])),
+            tex_mip_w=jnp.asarray(np.stack([r["mip_w"] for r in self.rows])),
+            tex_mip_h=jnp.asarray(np.stack([r["mip_h"] for r in self.rows])),
+            tex_n_mips=jnp.asarray([r["n_mips"] for r in self.rows],
+                                   jnp.int32),
             has_children=any(
                 r["kind"] in (KIND_SCALE, KIND_MIX) for r in self.rows
             ),
@@ -344,16 +386,11 @@ def _dots(uvs, inside, outside):
     return jnp.where(in_dot[..., None], inside, outside)
 
 
-def _base_value(table: TextureTable, tid, kind, uvs, p):
-    """Evaluate all non-combinator kinds for every lane, select by kind."""
-    w = table.tex_width[tid]
-    h = table.tex_height[tid]
-    off = table.tex_offset[tid]
-    par = table.tex_par[tid]
-    octaves = par[..., 0]
-    omega = par[..., 1]
-
-    # Image: bilinear with wrap (pbrt ImageWrap::Repeat default).
+def _bilinear_level(table: TextureTable, tid, uvs, level):
+    """Bilinear sample of one mip level per lane (wrap addressing)."""
+    w = table.tex_mip_w[tid, level]
+    h = table.tex_mip_h[tid, level]
+    off = table.tex_mip_offset[tid, level]
     u = uvs[..., 0] * w.astype(jnp.float32) - 0.5
     # pbrt flips v for images (imagemap.cpp: (1-t)).
     v = (1.0 - uvs[..., 1]) * h.astype(jnp.float32) - 0.5
@@ -367,12 +404,40 @@ def _base_value(table: TextureTable, tid, kind, uvs, p):
         iv = jnp.mod(iv.astype(jnp.int32), jnp.maximum(h, 1))
         return table.atlas[off + iv * w + iu]
 
-    img = (
+    return (
         texel(u0, v0) * ((1 - fu) * (1 - fv))[..., None]
         + texel(u0 + 1, v0) * (fu * (1 - fv))[..., None]
         + texel(u0, v0 + 1) * ((1 - fu) * fv)[..., None]
         + texel(u0 + 1, v0 + 1) * (fu * fv)[..., None]
     )
+
+
+def _base_value(table: TextureTable, tid, kind, uvs, p, uv_fp=None):
+    """Evaluate all non-combinator kinds for every lane, select by kind.
+
+    uv_fp: optional [R] uv-space footprint (ray-cone width) driving the
+    trilinear mip blend (core/mipmap.h:Lookup width path)."""
+    w = table.tex_width[tid]
+    h = table.tex_height[tid]
+    par = table.tex_par[tid]
+    octaves = par[..., 0]
+    omega = par[..., 1]
+
+    if uv_fp is None:
+        img = _bilinear_level(table, tid, uvs,
+                              jnp.zeros_like(tid, dtype=jnp.int32))
+    else:
+        # mipmap.h: level = nLevels-1 + log2(max(width, eps)); trilinear
+        # blend of the two bracketing levels.
+        res = jnp.maximum(w, h).astype(jnp.float32)
+        lod = jnp.log2(jnp.maximum(uv_fp * res, 1e-6))
+        lod = jnp.clip(lod, 0.0,
+                       (table.tex_n_mips[tid] - 1).astype(jnp.float32))
+        l0 = jnp.floor(lod).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, table.tex_n_mips[tid] - 1)
+        fl = (lod - l0.astype(jnp.float32))[..., None]
+        img = (1.0 - fl) * _bilinear_level(table, tid, uvs, l0) \
+            + fl * _bilinear_level(table, tid, uvs, l1)
 
     # Checkerboard (textures/checkerboard.cpp 2D mode).
     cu = jnp.floor(uvs[..., 0]).astype(jnp.int32)
@@ -433,9 +498,11 @@ def _base_value(table: TextureTable, tid, kind, uvs, p):
 
 
 def sample_texture(table: TextureTable, tex_id: Array, uv: Array,
-                   p: Array | None = None) -> Array:
+                   p: Array | None = None, uv_fp: Array | None = None
+                   ) -> Array:
     """Texture sample per lane: tex_id [R] (>=0), uv [R,2], p [R,3]
-    world position for 3-D noise textures.
+    world position for 3-D noise textures, uv_fp [R] ray-cone footprint
+    in uv units for the mip blend.
 
     Lanes with tex_id < 0 return 1.0 (callers multiply by a base color).
     """
@@ -444,7 +511,7 @@ def sample_texture(table: TextureTable, tex_id: Array, uv: Array,
     tid = jnp.maximum(tex_id, 0)
     kind = table.tex_kind[tid]
     uvs = uv * table.tex_uvscale[tid]
-    out = _base_value(table, tid, kind, uvs, p)
+    out = _base_value(table, tid, kind, uvs, p, uv_fp)
 
     if table.has_children:
         # One combinator level: scale / mix evaluate their children
@@ -455,8 +522,8 @@ def sample_texture(table: TextureTable, tex_id: Array, uv: Array,
         k1 = table.tex_kind[c1]
         uv0 = uv * table.tex_uvscale[c0]
         uv1 = uv * table.tex_uvscale[c1]
-        v0 = _base_value(table, c0, k0, uv0, p)
-        v1 = _base_value(table, c1, k1, uv1, p)
+        v0 = _base_value(table, c0, k0, uv0, p, uv_fp)
+        v1 = _base_value(table, c1, k1, uv1, p, uv_fp)
         has0 = table.tex_child[tid][..., 0] >= 0
         has1 = table.tex_child[tid][..., 1] >= 0
         v0 = jnp.where(has0[..., None], v0, table.tex_p0[tid])
