@@ -201,11 +201,11 @@ def _run_filter(mc, d2, fm, gbufs, valid, radius, ds_factor, gb_factors,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((CF, TH, WC), lambda i: (0, i, 0),
@@ -261,3 +261,66 @@ def _filter_bwd(radius, ds_factor, gb_factors, interpret, res, g):
 
 
 filter_apply.defvjp(_filter_fwd, _filter_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully-differentiable twin (G-buffer + film gradients)
+# ---------------------------------------------------------------------------
+
+
+def filter_apply_diff(film_mean, mc, d2, gbufs, valid, radius, ds_factor,
+                      gb_factors):
+    """Pure-JAX twin of filter_apply with identical weight math, fully
+    differentiable via autodiff: gradients flow through the spatial and
+    G-buffer range kernels AND into the filtered payload.  Gradients
+    through the binary acceptance gate are zero almost everywhere and
+    are stopped explicitly (they are a measure-zero step function; the
+    reference CUDA filter has the same property under finite
+    differences).
+
+    This is the differentiable-rendering entry (north star beyond the
+    reference): the Pallas filter_apply keeps the hot film-mean VJP
+    (one extra kernel launch), while this twin exists for G-buffer /
+    feature-learning gradients where the O(r^2) XLA sweep cost is
+    acceptable.  Returns out [H,W,CF]."""
+    H, W, C = mc.shape
+    r = radius
+    side = 2 * r + 1
+
+    def pad(x):
+        return jnp.pad(x, ((r, r), (r, r), (0, 0)))
+
+    mc_p = pad(mc)
+    d2_p = pad(d2)
+    fm_p = pad(film_mean)
+    gb_p = pad(gbufs) if gbufs.shape[-1] else None
+    v_p = jnp.pad(valid, ((r, r), (r, r)))
+    gbf = jnp.asarray(gb_factors, jnp.float32)
+
+    def body(k, acc):
+        wsum, fsum = acc
+        dy = k // side - r
+        dx = k % side - r
+
+        def sl(img):
+            return jax.lax.dynamic_slice(
+                img, (dy + r, dx + r, 0), (H, W, img.shape[2]))
+
+        mc_j = sl(mc_p)
+        d2_j = sl(d2_p)
+        diff = mc - mc_j
+        accept = jnp.all(diff * diff <= d2 + d2_j + 1e-20, axis=-1)
+        accept = jax.lax.stop_gradient(accept.astype(jnp.float32))
+        v_j = jax.lax.dynamic_slice(
+            v_p, (dy + r, dx + r), (H, W))
+        logw = ds_factor * (dy * dy + dx * dx).astype(jnp.float32)
+        if gb_p is not None:
+            dg = gbufs - sl(gb_p)
+            logw = logw + jnp.sum(gbf * dg * dg, axis=-1)
+        w = jnp.exp(logw) * accept * v_j
+        return wsum + w, fsum + w[..., None] * sl(fm_p)
+
+    wsum0 = jnp.zeros((H, W))
+    fsum0 = jnp.zeros((H, W) + film_mean.shape[-1:])
+    wsum, fsum = jax.lax.fori_loop(0, side * side, body, (wsum0, fsum0))
+    return fsum / jnp.maximum(wsum, 1e-20)[..., None]
