@@ -679,11 +679,59 @@ class Renderer:
         self._denoise()
         return self.write_outputs(out_dir, iteration)
 
+    # -- Device-state checkpointing (orbax) --------------------------------
+    # The reference's checkpoint is the on-disk PFM buffer set
+    # (SURVEY.md §5.4, statpath.cpp:456-550 re-ingests it); that path is
+    # denoise_from_disk/write_outputs.  For elastic multi-host jobs the
+    # sufficient statistics are additionally serialized as sharded
+    # arrays with orbax -- "resume from last completed iteration" is the
+    # elastic-recovery story the reference lacks (SURVEY.md §5.3).
+
+    def save_checkpoint(self, path: str, next_iteration: int):
+        import orbax.checkpoint as ocp
+
+        tree = dict(
+            states=self.states, film_sum=self.film_sum,
+            film_w=self.film_w, ray_total=self.ray_total,
+            stats=self.stats, avg_ls=self.avg_ls,
+            win_b=self.win_b, win_l=self.win_l,
+            next_iteration=jnp.asarray(next_iteration),
+        )
+        ocp.PyTreeCheckpointer().save(
+            os.path.abspath(path), tree,
+            save_args=jax.tree.map(lambda _: ocp.SaveArgs(), tree),
+        )
+
+    def restore_checkpoint(self, path: str) -> int:
+        """Restores estimator state; returns the next iteration index."""
+        import orbax.checkpoint as ocp
+
+        # Restore against the live pytree as template so dict key types
+        # and NamedTuple nodes survive the roundtrip.
+        template = dict(
+            states=self.states, film_sum=self.film_sum,
+            film_w=self.film_w, ray_total=self.ray_total,
+            stats=self.stats, avg_ls=self.avg_ls,
+            win_b=self.win_b, win_l=self.win_l,
+            next_iteration=jnp.asarray(0),
+        )
+        t = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(path), item=template)
+        self.states = jax.tree.map(jnp.asarray, t["states"])
+        self.film_sum = jnp.asarray(t["film_sum"])
+        self.film_w = jnp.asarray(t["film_w"])
+        self.ray_total = jnp.asarray(t["ray_total"])
+        self.stats = jax.tree.map(jnp.asarray, t["stats"])
+        self.avg_ls = jnp.asarray(t["avg_ls"])
+        self.win_b = jnp.asarray(t["win_b"])
+        self.win_l = jnp.asarray(t["win_l"])
+        return int(t["next_iteration"])
+
     def render(self, iterations: int | None = None, out_dir: str | None = None,
-               verbose: bool = True):
+               verbose: bool = True, start_iteration: int = 1):
         n_it = iterations or self.s.ecfg.iterations
         logs = []
-        for i in range(1, n_it + 1):
+        for i in range(start_iteration, n_it + 1):
             log = self.run_iteration(i)
             if out_dir is not None:
                 t0 = time.perf_counter()

@@ -230,3 +230,35 @@ def replicate_scene(setup: RenderSetup, mesh: Mesh) -> RenderSetup:
     import dataclasses
 
     return dataclasses.replace(setup, scene=scene, bvh=bvh)
+
+
+def distributed_init(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Multi-host bring-up: jax.distributed.initialize + device report.
+
+    The reference has no multi-node path at all (SURVEY.md §2.7: one
+    pthread pool + one CUDA device); here the same pjit program spans
+    hosts over DCN once every process calls this (scene tables are
+    replicated per host by replicate_scene; film/moment reductions ride
+    the mesh collectives).  Reads JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID from the environment when args
+    are omitted; a single-process call is a no-op.
+    """
+    import os
+
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    num_processes = num_processes or int(
+        os.environ.get("JAX_NUM_PROCESSES", "1"))
+    process_id = (process_id if process_id is not None
+                  else int(os.environ.get("JAX_PROCESS_ID", "0")))
+    if coordinator_address and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.devices()
