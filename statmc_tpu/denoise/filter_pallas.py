@@ -169,7 +169,7 @@ def _pad_planar(img_hwc, r, Hp, WS):
 @partial(jax.jit, static_argnames=(
     "radius", "ds_factor", "gb_factors", "normalize", "th", "interpret"))
 def _run_filter(mc, d2, fm, gbufs, valid, radius, ds_factor, gb_factors,
-                normalize=True, th=16, interpret=False):
+                normalize=True, th=64, interpret=False):
     """mc/d2: [H,W,C]; fm: [H,W,CF] (CF >= C: trailing planes filter
     along, e.g. the film image); gbufs: [H,W,G] flattened G-buffer
     planes; valid: [H,W].  Returns (out [H,W,CF], wsum [H,W])."""
@@ -217,6 +217,12 @@ def _run_filter(mc, d2, fm, gbufs, valid, radius, ds_factor, gb_factors,
             jax.ShapeDtypeStruct((CF, Hp, WC), jnp.float32),
             jax.ShapeDtypeStruct((1, Hp, WC), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # Big row slabs amortize the per-offset instruction overhead
+            # (TH=64 measured 2.4x faster than 16 at r=20: 23 -> 9.7 ms at 256^2 CF=6 G=6); the slab
+            # working set exceeds the default 16M scoped-vmem cap.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(mc_p, d2_p, fm_p, gb_p, v_p)
     out = jnp.moveaxis(out[:, :H, :W], 0, -1)
