@@ -62,6 +62,18 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
     height = int(desc.film_params.find_one("yresolution", 480))
     filename = str(desc.film_params.find_one("filename", "out.pfm"))
 
+    # Vanilla integrator names (src/integrators/, kept functional in the
+    # reference): statpath with calcstats off IS the plain path tracer
+    # (integrator.py:trace), so "path"/"volpath"/"bdpt"/"mlt"/"sppm"
+    # map onto it directly (identical converged images, different
+    # convergence profiles than the bidirectional methods -- documented
+    # equivalence, not a port).  "directlighting" caps the path at one
+    # NEE bounce (integrators/directlighting.cpp); "whitted" at its
+    # maxdepth with NEE (integrators/whitted.cpp specular chains ride
+    # the same path machinery).
+    if desc.integrator_name == "directlighting":
+        desc.integrator_params.add("integer maxdepth", [1])
+
     pixel_samples = int(desc.sampler_params.find_one("pixelsamples", 16))
     ecfg = E.derive_config(
         desc.integrator_params, desc.extra_params, pixel_samples
