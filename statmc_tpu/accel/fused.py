@@ -162,8 +162,11 @@ def ray_features(o, d):
     one = jnp.ones(o.shape[:-1] + (1,), o.dtype)
     zero2 = jnp.zeros(o.shape[:-1] + (2,), o.dtype)
     zero1 = jnp.zeros(o.shape[:-1] + (1,), o.dtype)
+    # Degenerate-component fallback keeps the SIGN of d (a tiny negative
+    # component must yield a large NEGATIVE inverse, or the slab test
+    # collapses to tn=tf=0 and the cull stops being conservative).
     inv = jnp.where(jnp.abs(d) > 1e-12, 1.0 / jnp.where(d == 0, 1.0, d),
-                    jnp.sign(d) * 1e12 + 1e12)
+                    jnp.where(d < 0, -1e12, 1e12))
     ray_e = jnp.concatenate([d, m, zero2], axis=-1)
     ray_p = jnp.concatenate([d, o, one, zero1], axis=-1)
     ray_b = jnp.concatenate([inv, o, zero2], axis=-1)

@@ -62,17 +62,16 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
     height = int(desc.film_params.find_one("yresolution", 480))
     filename = str(desc.film_params.find_one("filename", "out.pfm"))
 
-    # Vanilla integrator names (src/integrators/, kept functional in the
-    # reference): statpath with calcstats off IS the plain path tracer
-    # (integrator.py:trace), so "path"/"volpath"/"bdpt"/"mlt"/"sppm"
-    # map onto it directly (identical converged images, different
-    # convergence profiles than the bidirectional methods -- documented
-    # equivalence, not a port).  "directlighting" caps the path at one
-    # NEE bounce (integrators/directlighting.cpp); "whitted" at its
-    # maxdepth with NEE (integrators/whitted.cpp specular chains ride
-    # the same path machinery).
-    if desc.integrator_name == "directlighting":
-        desc.integrator_params.add("integer maxdepth", [1])
+    # Vanilla integrator names (src/integrators/): statpath with
+    # calcstats off IS the plain path tracer (integrator.py:trace), so
+    # "path" maps onto it directly.  "directlighting"/"whitted" run NEE
+    # at every vertex but continue ONLY through specular lobes
+    # (directlighting.cpp / whitted.cpp recurse solely via
+    # SpecularReflect/Transmit), honoring the scene's maxdepth (default
+    # 5).  volpath dispatches the media-aware bounce scan
+    # (render/volume.py); bdpt/sppm/mlt have their own drivers
+    # (render/bdpt.py, render/sppm.py, render/pssmlt.py) -- see load().
+    direct_only = desc.integrator_name in ("directlighting", "whitted")
 
     pixel_samples = int(desc.sampler_params.find_one("pixelsamples", 16))
     ecfg = E.derive_config(
@@ -109,6 +108,10 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
     ) * diff_scale
 
     rad = ecfg.configs[E.RADIANCE]
+    # Null-material pass-throughs do not consume a bounce
+    # (statpath.cpp:823-827), so scenes containing them get extra scan
+    # steps; scenes without keep the tight max_depth+1 bound.
+    has_null = bool(np.any(scene_np.mat_type == 0))  # MAT_NONE
     icfg = IntegratorConfig(
         max_depth=ecfg.max_depth,
         n_ls=max(rad.bounce_end, 1),
@@ -121,6 +124,8 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
                                             crng.MODE_RANDOM),
         cone0=cone0,
         cone_spread=cone_spread,
+        direct_only=direct_only,
+        null_extra=8 if has_null else 0,
     )
 
     # pixelbounds crop (debug feature; statpath.cpp:967-980): pixels
@@ -763,5 +768,15 @@ class Renderer:
 def load(scene_path: str, base_seed: int = 0,
          force_dense: bool = False) -> Renderer:
     desc = parse_scene(scene_path)
+    name = desc.integrator_name
+    if name in ("bdpt", "mlt", "sppm"):
+        # Honest dispatch: these are distinct light-transport algorithms
+        # (src/integrators/bdpt.cpp, mlt.cpp, sppm.cpp), not aliases of
+        # unidirectional path tracing.  Their wavefront drivers live in
+        # render/{bdpt,pssmlt,sppm}.py behind make_alt_renderer.
+        from .render.alt_integrators import make_alt_renderer
+
+        return make_alt_renderer(name, desc, base_seed,
+                                 force_dense=force_dense)
     setup = prepare(desc, base_seed, force_dense=force_dense)
     return Renderer(setup)

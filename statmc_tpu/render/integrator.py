@@ -59,6 +59,13 @@ class IntegratorConfig(NamedTuple):
     enable_nee: bool = True  # False = brute-force BSDF-only estimator
     # (not a reference feature; used as an independent ground truth for
     # validating the NEE+MIS estimator in tests)
+    direct_only: bool = False  # whitted/directlighting semantics: paths
+    # continue ONLY through specular lobes (integrators/directlighting.cpp
+    # and whitted.cpp recurse solely via SpecularReflect/Transmit)
+    null_extra: int = 0  # extra scan steps granted for null-material
+    # pass-throughs, which do NOT consume a bounce (statpath.cpp:823-827
+    # does bounces-- on a null-BSDF hit); >0 only when the scene has
+    # null materials, keeping the common case at max_depth+1 steps
 
 
 class SampleOutput(NamedTuple):
@@ -149,21 +156,30 @@ def trace(
         n_rays=jnp.zeros((P,)),
         path_len=jnp.zeros((P,)),
         cum_t=jnp.zeros((P,)),
+        bounce=jnp.zeros((P,), jnp.int32),
     )
 
-    bounce_ids = jnp.arange(cfg.max_depth + 1)
+    # Scan steps: one per bounce plus the escape/Le step, plus a bounded
+    # allowance for null-material pass-throughs (which do not advance the
+    # per-lane bounce counter, mirroring statpath.cpp:823-827).
+    n_steps = cfg.max_depth + 1 + cfg.null_extra
 
-    def body(carry, b):
+    def body(carry, step):
         o, d = carry["o"], carry["d"]
         active = carry["active"]
         betas, ls = carry["betas"], carry["ls"]
+        # Per-lane bounce index (NOT the scan step): null pass-throughs
+        # leave it unchanged, so all bounce-addressed state (per-bounce
+        # Ls buffers, SMIS tallies, RR start) matches the reference's
+        # bounces counter exactly.
+        bl = carry["bounce"]
 
         hit = intersect_scene(scene, o, d, bvh=bvh)
         found = hit.found & active
 
         # --- emitted light at the vertex (bounce 0 or after specular) ---
         if cfg.enable_nee:
-            emit = (b == 0) | carry["specular"]
+            emit = (bl == 0) | carry["specular"]
         else:
             emit = jnp.ones((P,), bool)  # BSDF-only: Le at every vertex
         le_hit = LT.area_light_le(scene, hit.light_id, hit.ng, -d)
@@ -174,15 +190,15 @@ def trace(
             (emit & active)[..., None, None], betas * le[:, None, :], 0.0
         )
 
-        shading = found & (b < cfg.max_depth)
+        shading = found & (bl < cfg.max_depth)
         cum_t = carry["cum_t"] + jnp.where(found, hit.t, 0.0)
         cone_w = cfg.cone0 + cfg.cone_spread * cum_t
         m = B.gather_materials(scene, hit.mat_id, hit.uv, hit.p,
                                uv_fp=cone_w * hit.uv_density)
         null_mat = m.mat_type == sb.MAT_NONE
-        # Null materials: pass through (the reference re-spawns without
-        # counting the bounce, statpath.cpp:823-827; we consume a bounce,
-        # negligible at maxdepth 65).
+        # Null materials pass through without counting the bounce
+        # (statpath.cpp:823-827 re-spawns with bounces--): the per-lane
+        # counter bl is simply not advanced below.
         shading = shading & ~null_mat
 
         frame = B.ShadingFrame.from_normal(
@@ -192,7 +208,7 @@ def trace(
         wo_l = frame.to_local(wo_world)
 
         # --- bounce-0 feature capture -----------------------------------
-        first = (b == 0) & shading
+        first = (bl == 0) & shading
         mat_feature = (hit.mat_id + 1).astype(jnp.float32)
         carry_mat = jnp.where(first, mat_feature, carry["mat_id"])
         carry_depth = jnp.where(first, hit.t, carry["depth"])
@@ -214,9 +230,9 @@ def trace(
         if not cfg.enable_nee:
             nee = jnp.zeros_like(nee)
 
-        u_sel = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, b, crng.SLOT_LIGHT_SELECT)
+        u_sel = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, step, crng.SLOT_LIGHT_SELECT)
         light_id, sel_pmf = sample_light_id(dist, u_sel, hit.p)
-        u_light = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, b, crng.SLOT_LIGHT_SAMPLE)
+        u_light = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, step, crng.SLOT_LIGHT_SAMPLE)
         p_off_wi = hit.p  # offset applied per ray below
 
         lsamp = LT.sample_li(scene, light_id, hit.p, hit.ng, u_light)
@@ -236,8 +252,8 @@ def trace(
         contr_l = f_l * li_l / jnp.maximum(lsamp.pdf, 1e-30)[..., None]
 
         # BSDF half of EstimateDirect.
-        u_bs = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, b, crng.SLOT_BSDF_NEE)
-        uc_bs = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, b, crng.SLOT_BSDF_COMPONENT)
+        u_bs = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, step, crng.SLOT_BSDF_NEE)
+        uc_bs = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, step, crng.SLOT_BSDF_COMPONENT)
         bsmp = B.sample(m, wo_l, u_bs, uc_bs)
         wi2 = frame.to_world(bsmp.wi)
         f_b = bsmp.f * cm.absdot(wi2, hit.ns)[..., None]
@@ -268,12 +284,19 @@ def trace(
         contr_b = f_b * li_b / jnp.maximum(bsmp.pdf, 1e-30)[..., None]
 
         # --- SMIS strategy disabling (statpath.cpp:559-560,630-728) -----
-        smis_here = cfg.enable_smis & (b < cfg.nb_mis)
-        bidx = jnp.minimum(b, NB - 1)
-        wr_l = win_light[:, bidx]
-        wr_b = win_bsdf[:, bidx]
-        t_b = carry["mis_bsdf"][:, bidx]
-        t_l = carry["mis_light"][:, bidx]
+        # bl is per-lane, so bounce-indexed reads become gathers and the
+        # tally scatter a one-hot add (NB is a small static axis).
+        smis_here = cfg.enable_smis & (bl < cfg.nb_mis)
+        bidx = jnp.minimum(bl, NB - 1)
+        bhot = jax.nn.one_hot(bidx, NB, dtype=jnp.float32)
+
+        def at_b(arr):  # [P, NB] -> [P] value at this lane's bounce
+            return jnp.take_along_axis(arr, bidx[:, None], axis=1)[:, 0]
+
+        wr_l = at_b(win_light)
+        wr_b = at_b(win_bsdf)
+        t_b = at_b(carry["mis_bsdf"])
+        t_l = at_b(carry["mis_light"])
         fb = feedback_on
         dl0 = smis_here & fb & (wr_l < 1e-3) & (t_l == 0) \
             & ((wr_b >= 1e-3) | (t_b > 0))
@@ -319,12 +342,12 @@ def trace(
         inc_lt = inc_lt + jnp.where(rerun, jnp.where(w_l > 0.5, 1.0, 0.0), 0.0)
         inc_bt = inc_bt + jnp.where(rerun, jnp.where(w_l > 0.5, 0.0, 1.0), 0.0)
         sm = (smis_here & nee).astype(jnp.float32)
-        mis_bsdf = carry["mis_bsdf"].at[:, bidx].add(sm * inc_bt)
-        mis_light = carry["mis_light"].at[:, bidx].add(sm * inc_lt)
+        mis_bsdf = carry["mis_bsdf"] + bhot * (sm * inc_bt)[:, None]
+        mis_light = carry["mis_light"] + bhot * (sm * inc_lt)[:, None]
 
         # --- BSDF sampling for path continuation ------------------------
-        u_pc = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, b, crng.SLOT_BSDF)
-        uc_pc = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, b, crng.SLOT_BSDF_COMPONENT_PC)
+        u_pc = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, step, crng.SLOT_BSDF)
+        uc_pc = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, step, crng.SLOT_BSDF_COMPONENT_PC)
         psmp = B.sample(m, wo_l, u_pc, uc_pc)
         wi_c = frame.to_world(psmp.wi)
         bsdf_beta = (
@@ -332,11 +355,16 @@ def trace(
             / jnp.maximum(psmp.pdf, 1e-30)[..., None]
         )
         dead = ~shading | jnp.all(psmp.f <= 0, -1) | (psmp.pdf <= 0)
+        if cfg.direct_only:
+            # whitted/directlighting: only specular lobes continue
+            # (directlighting.cpp / whitted.cpp recurse solely via
+            # SpecularReflect/SpecularTransmit).
+            dead = dead | ~psmp.specular
         # Null materials continue straight through.
-        pass_through = found & (b < cfg.max_depth) & null_mat
+        pass_through = found & (bl < cfg.max_depth) & null_mat
         dead = dead & ~pass_through
 
-        bmask = (jnp.arange(NL)[None, :] <= b) & ~dead[:, None]
+        bmask = (jnp.arange(NL)[None, :] <= bl[:, None]) & ~dead[:, None]
         betas = betas * jnp.where(
             bmask[..., None],
             jnp.where(pass_through[:, None, None], 1.0, bsdf_beta[:, None, :]),
@@ -358,20 +386,21 @@ def trace(
         o_new = jnp.where(pass_through[..., None],
                           hit.p + d * 1e-4, o_new)
 
-        active = active & found & (b < cfg.max_depth) & ~dead
+        active = active & found & (bl < cfg.max_depth) & ~dead
 
         # --- Russian roulette (statpath.cpp:930-953) --------------------
-        rr_here = b > (cfg.rr_start_bounce - 1)
-        avg_idx = jnp.minimum(b + 1, NL - 1)
+        rr_here = bl > (cfg.rr_start_bounce - 1)
+        avg_idx = jnp.minimum(bl + 1, NL - 1)
         acrr_on = cfg.enable_acrr & feedback_on
         avg_l0 = jnp.maximum(avg_ls[:, 0], 1e-12)
-        avg = jnp.where(acrr_on, avg_ls[:, avg_idx] / avg_l0, 1.0)
+        avg_at = jnp.take_along_axis(avg_ls, avg_idx[:, None], axis=1)[:, 0]
+        avg = jnp.where(acrr_on, avg_at / avg_l0, 1.0)
         rr_beta_max = jnp.max(
             betas[:, 0, :] * eta_scale[:, None], axis=-1
         )
         survival = rr_beta_max * avg
         q = jnp.maximum(0.05, 1.0 - survival)
-        u_rr = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, b, crng.SLOT_RR)
+        u_rr = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, step, crng.SLOT_RR)
         do_rr = rr_here & active & (survival < cfg.rr_threshold)
         killed = do_rr & (u_rr < q)
         active = active & ~killed
@@ -387,17 +416,20 @@ def trace(
             + 2.0 * nee.astype(jnp.float32)  # shadow + BSDF-MIS closest
         )
         path_len = carry["path_len"] + shading.astype(jnp.float32)
+        # Advance the per-lane bounce counter; null pass-throughs stay
+        # (statpath.cpp:823-827 bounces--).
+        bl_new = bl + jnp.where(pass_through, 0, 1).astype(jnp.int32)
         new_carry = dict(
             o=o_new, d=d_new, ls=ls, betas=betas,
             specular=specular_new, active=active, eta_scale=eta_scale,
             mis_bsdf=mis_bsdf, mis_light=mis_light,
             mat_id=carry_mat, depth=carry_depth,
             normal=carry_normal, albedo=carry_albedo, n_rays=n_rays,
-            path_len=path_len, cum_t=cum_t,
+            path_len=path_len, cum_t=cum_t, bounce=bl_new,
         )
         return new_carry, None
 
-    carry, _ = jax.lax.scan(body, carry, bounce_ids)
+    carry, _ = jax.lax.scan(body, carry, jnp.arange(n_steps))
 
     # NaN / negative / infinite luminance scrub on the film estimate
     # (statpath.cpp:333-351): only Ls[0] is scrubbed.

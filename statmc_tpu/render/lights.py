@@ -157,14 +157,21 @@ def sample_li(scene: sb.SceneTables, light_id: Array, ref_p: Array,
     # the outgoing direction in light space indexes an intensity image.
     w2l = scene.light_w2l[light_id].reshape((-1, 3, 3))
     tex_id = scene.light_tex[light_id]
-    w_out = jnp.einsum("rij,rj->ri", w2l, -wi_p)  # light -> ref, light space
+    # Elementwise 3x3 apply (not einsum): a default-precision dot lowers
+    # to single-pass bf16 on TPU and corrupts the light-space direction
+    # (core/math.py:_apply33 rationale).
+    w_out = jnp.sum(w2l * (-wi_p)[:, None, :], axis=-1)
     from ..scene.textures import sample_texture
 
-    # Goniometric: spherical (theta, phi) of w_out -> (u, v).
-    theta = jnp.arccos(jnp.clip(w_out[..., 2], -1.0, 1.0))
-    phi_g = jnp.arctan2(w_out[..., 1], w_out[..., 0])
+    # Goniometric: lights/goniometric.h:70-71 swaps (y, z) BEFORE
+    # SphericalTheta/SphericalPhi, so theta comes from the y component
+    # and phi from (x, z).  sample_texture's imagemap path applies the
+    # (1-v) row flip that the reference's direct MIPMap lookup does not,
+    # so v is pre-flipped here to compensate.
+    theta = jnp.arccos(jnp.clip(w_out[..., 1], -1.0, 1.0))
+    phi_g = jnp.arctan2(w_out[..., 2], w_out[..., 0])
     phi_g = jnp.where(phi_g < 0, phi_g + 2 * jnp.pi, phi_g)
-    uv_g = jnp.stack([phi_g / (2 * jnp.pi), theta / jnp.pi], axis=-1)
+    uv_g = jnp.stack([phi_g / (2 * jnp.pi), 1.0 - theta / jnp.pi], axis=-1)
     gain_g = sample_texture(scene.textures, tex_id, uv_g)
     li_gonio = li_p * jnp.where((tex_id >= 0)[..., None], gain_g, 1.0)
     # Projection: perspective divide onto the fov screen window.

@@ -331,13 +331,19 @@ def _mix_rows(r1: dict, r2: dict, amount: np.ndarray) -> dict:
     parameter rows is exact for same-family children and a documented
     approximation across families -- the dominant child's type wins)."""
     a = float(np.mean(amount))
-    out = dict(r1 if a >= 0.5 else r2)
+    dom = r1 if a >= 0.5 else r2
+    out = dict(dom)
     w1, w2 = a, 1.0 - a
     for key in ("kd", "ks", "kr", "kt", "eta", "k"):
         out[key] = (w1 * np.asarray(r1[key], np.float32)
                     + w2 * np.asarray(r2[key], np.float32))
     for key in ("rough_u", "rough_v", "sigma"):
         out[key] = w1 * float(r1[key]) + w2 * float(r2[key])
+    # A textured Kd must survive the fold (the scalar lerp above only
+    # blends the constant fallback colors): prefer the dominant child's
+    # texture, else inherit the other child's rather than dropping it.
+    other = r2 if a >= 0.5 else r1
+    out["kd_tex_name"] = dom.get("kd_tex_name") or other.get("kd_tex_name")
     return out
 
 

@@ -53,6 +53,17 @@ def test_directlighting_darker_than_path():
 
 
 def test_whitted_and_volpath_accepted():
-    for name in ("whitted", "volpath", "bdpt"):
+    # volpath on a medium-free scene is exactly the path estimator
+    # (volpath.cpp degenerates to path.cpp when no media exist).
+    for name in ("whitted", "volpath"):
         img = _render(name)
         assert np.isfinite(img).all() and img.mean() > 0
+
+
+def test_whitted_darker_than_path():
+    # whitted recurses only through specular lobes (whitted.cpp):
+    # on an all-diffuse scene it must lose the indirect energy.
+    img_p = _render("path")
+    img_w = _render("whitted")
+    assert img_w.mean() < img_p.mean()
+
