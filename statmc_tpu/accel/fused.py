@@ -261,7 +261,13 @@ def _kernel(raye_ref, rayp_ref, rayb_ref, tmax_ref, edge_ref, plane_ref,
             tile_work(j)
         return 0
 
-    jax.lax.fori_loop(0, n_tiles, body, 0)
+    # Whole-ray-tile liveness skip: lanes of terminated paths carry
+    # t_max = 0 (integrator passes where(active, INF, 0)), so a ray tile
+    # whose 512 lanes are all dead skips every triangle tile outright.
+    @pl.when(jnp.any(tmax_ref[0] > 0))
+    def _():
+        jax.lax.fori_loop(0, n_tiles, body, 0)
+
     t_out[0] = best_t_s[:]
     id_out[0] = best_id_s[:]
 

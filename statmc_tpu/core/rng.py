@@ -40,25 +40,35 @@ def pixel_keys(key: Array, pixel_ids: Array, sample_index: Array) -> Array:
     """Per-pixel keys for one sample index: fold (sample, pixel) into key.
 
     pixel_ids: int32 [P] global pixel ids (stable under sharding).
+    sample_index: scalar, or [P] per-lane indices (path-regeneration
+    wavefront: each lane advances through its own sample budget).
     Returns stacked keys [P, 2] (raw threefry key data).
     """
-    k = jax.random.fold_in(key, sample_index)
-    return jax.vmap(lambda pid: jax.random.fold_in(k, pid))(pixel_ids)
+    if jnp.ndim(sample_index) == 0:
+        k = jax.random.fold_in(key, sample_index)
+        return jax.vmap(lambda pid: jax.random.fold_in(k, pid))(pixel_ids)
+    return jax.vmap(
+        lambda s, pid: jax.random.fold_in(jax.random.fold_in(key, s), pid)
+    )(sample_index, pixel_ids)
+
+
+def _site_keys(keys: Array, bounce, slot: int) -> Array:
+    """Fold (bounce, slot) into per-lane keys; bounce scalar or [P]."""
+    b = jnp.broadcast_to(jnp.asarray(bounce), keys.shape[:1])
+    return jax.vmap(
+        lambda k, bb: jax.random.fold_in(jax.random.fold_in(k, bb), slot)
+    )(keys, b)
 
 
 def uniform_1d(keys: Array, bounce, slot: int) -> Array:
     """One uniform in [0,1) per pixel key. keys: [P] key array."""
-    ks = jax.vmap(lambda k: jax.random.fold_in(jax.random.fold_in(k, bounce), slot))(
-        keys
-    )
+    ks = _site_keys(keys, bounce, slot)
     return jax.vmap(lambda k: jax.random.uniform(k, ()))(ks)
 
 
 def uniform_2d(keys: Array, bounce, slot: int) -> Array:
     """[P, 2] uniforms."""
-    ks = jax.vmap(lambda k: jax.random.fold_in(jax.random.fold_in(k, bounce), slot))(
-        keys
-    )
+    ks = _site_keys(keys, bounce, slot)
     return jax.vmap(lambda k: jax.random.uniform(k, (2,)))(ks)
 
 
@@ -178,8 +188,13 @@ def _primes_table():
 
 
 def radical_inverse(base, n):
-    """Scalar radical inverse of n in the given (traced) base."""
+    """Radical inverse of n in the given (traced) base; broadcasts
+    scalar/[P] base against scalar/[P] n."""
     base_f = base.astype(jnp.float32)
+    n0, _ = jnp.broadcast_arrays(jnp.asarray(n, jnp.int32),
+                                 jnp.asarray(base, jnp.int32))
+    rd0 = jnp.zeros_like(n0, jnp.float32)
+    inv0 = jnp.ones_like(n0, jnp.float32)
 
     def body(i, c):
         n, rd, inv = c
@@ -190,17 +205,12 @@ def radical_inverse(base, n):
         inv = jnp.where(live, inv / base_f, inv)
         return nxt, rd, inv
 
-    _, rd, inv = jax.lax.fori_loop(
-        0, 32, body, (n.astype(jnp.int32), jnp.float32(0.0),
-                      jnp.float32(1.0))
-    )
+    _, rd, inv = jax.lax.fori_loop(0, 32, body, (n0, rd0, inv0))
     return rd * inv
 
 
 def _ld_fold(scramble_keys: Array, bounce, slot: int) -> Array:
-    return jax.vmap(
-        lambda k: jax.random.fold_in(jax.random.fold_in(k, bounce), slot)
-    )(scramble_keys)
+    return _site_keys(scramble_keys, bounce, slot)
 
 
 def draw_1d(keys: Array, ld, mode: int, bounce, slot: int) -> Array:

@@ -28,7 +28,7 @@ import numpy as np
 from .core import rng as crng
 from .core import spectrum as spec
 from .render import camera as CAM
-from .render.integrator import IntegratorConfig, trace
+from .render.integrator import IntegratorConfig, trace, trace_wavefront
 from .render.lightdistrib import make_distribution
 from .scene.api import SceneDescription, parse_scene
 from .scene.build import SceneTables, build_scene
@@ -357,13 +357,121 @@ def make_chunk_fn(setup: RenderSetup):
     return jax.jit(chunk, static_argnames=("n_samples",))
 
 
+def make_regen_chunk_fn(setup: RenderSetup):
+    """Path-regeneration chunk function (single device, product path).
+
+    Same signature and (bit-identical) results as make_chunk_fn, but the
+    per-sample bounce scan is replaced by trace_wavefront's regeneration
+    loop: a lane that finishes a sample immediately starts its next one,
+    so dead-lane waste collapses from ~(1 - avg_path/max_depth) to the
+    tail of the final sample.  Completed samples are recorded in
+    per-pixel sample order, so film sums and streaming moment updates
+    reproduce the per-sample driver exactly.
+    """
+    scene, bvh, dist = setup.scene, setup.bvh, setup.dist
+    icfg, ecfg = setup.icfg, setup.ecfg
+    cam, W = setup.cam, setup.width
+    P = setup.width * setup.height
+    Pp, B, n_blocks = padded_pixel_count(P)
+    pixel_ids_all = jnp.minimum(jnp.arange(Pp, dtype=jnp.int32), P - 1)
+
+    def slice_px(x, start, size):
+        idx = (start,) + (0,) * (x.ndim - 1)
+        return jax.lax.dynamic_slice(x, idx, (size,) + x.shape[1:])
+
+    def slice_state(states, start, size):
+        return jax.tree.map(
+            lambda x: jax.lax.dynamic_slice(
+                x, (0, start) + (0,) * (x.ndim - 2),
+                (x.shape[0], size) + x.shape[2:],
+            ),
+            states,
+        )
+
+    def write_state(states, blk, start):
+        return jax.tree.map(
+            lambda x, b: jax.lax.dynamic_update_slice(
+                x, b, (0, start) + (0,) * (x.ndim - 2)
+            ),
+            states, blk,
+        )
+
+    def chunk(states, film_sum, film_w, ray_total, stats_acc, base_key,
+              sample_start, avg_ls, win_b, win_l, feedback_on, n_samples):
+        def block_body(bi, carry2):
+            states, film_sum, film_w, ray_total, stats_acc = carry2
+            start = bi * B
+            ids = jax.lax.dynamic_slice(pixel_ids_all, (start,), (B,))
+            st_b = slice_state(states, start, B)
+            fs_b = slice_px(film_sum, start, B)
+            fw_b = slice_px(film_w, start, B)
+            al_b = slice_px(avg_ls, start, B)
+            wb_b = slice_px(win_b, start, B)
+            wl_b = slice_px(win_l, start, B)
+            crop = (setup.pixel_mask[ids]
+                    if setup.pixel_mask is not None else None)
+            px = (ids % W).astype(jnp.float32)
+            py = (ids // W).astype(jnp.float32)
+
+            def gen_ray(u_cam, sample_idx):
+                # Box filter, radius 0.5 (api.cpp:1703-1727): each sample
+                # lands in its own pixel with weight 1.
+                p_film = jnp.stack([px, py], axis=-1) + u_cam
+                return CAM.generate_rays(cam, p_film)
+
+            def record(out, done, acc):
+                st, fs, fw, rt, sa = acc
+                m = done if crop is None else (done & crop)
+                mf = m.astype(jnp.float32)
+                L = out.ls[:, 0, :]
+                fs = fs + L * mf[:, None]
+                fw = fw + mf
+                st = E.update_states(st, ecfg, out, m)
+                rt = rt + jnp.sum(out.n_rays)
+                df = done.astype(jnp.float32)
+                sa = dict(
+                    n_camera_rays=sa["n_camera_rays"] + jnp.sum(df),
+                    zero_paths=sa["zero_paths"]
+                    + jnp.sum(df * (jnp.sum(L, -1) == 0.0)),
+                    total_paths=sa["total_paths"] + jnp.sum(df),
+                    path_len_sum=sa["path_len_sum"]
+                    + jnp.sum(out.path_len),
+                    path_len_max=jnp.maximum(
+                        sa["path_len_max"], jnp.max(out.path_len)),
+                )
+                return (st, fs, fw, rt, sa)
+
+            acc0 = (st_b, fs_b, fw_b, ray_total, stats_acc)
+            st_b, fs_b, fw_b, ray_total, stats_acc = trace_wavefront(
+                scene, bvh, dist, icfg, gen_ray, ids, base_key,
+                sample_start, n_samples, al_b, wb_b, wl_b, feedback_on,
+                record, acc0, albedo_luts=setup.albedo_luts,
+            )
+            states = write_state(states, st_b, start)
+            film_sum = jax.lax.dynamic_update_slice(
+                film_sum, fs_b, (start, 0))
+            film_w = jax.lax.dynamic_update_slice(film_w, fw_b, (start,))
+            return states, film_sum, film_w, ray_total, stats_acc
+
+        carry = (states, film_sum, film_w, ray_total, stats_acc)
+        if n_blocks == 1:
+            return block_body(0, carry)
+        return jax.lax.fori_loop(0, n_blocks, block_body, carry)
+
+    return jax.jit(chunk, static_argnames=("n_samples",))
+
+
 class Renderer:
     """Owns device state across the iteration loop; the Python analogue of
     StatPathIntegrator::Render (statpath.cpp:118-440)."""
 
-    def __init__(self, setup: RenderSetup, denoiser=None):
+    def __init__(self, setup: RenderSetup, denoiser=None,
+                 regen: bool = True):
         self.s = setup
-        self.chunk_fn = make_chunk_fn(setup)
+        # Path regeneration is the product path; regen=False keeps the
+        # per-sample scan driver (tests compare the two for equality).
+        self.chunk_fn = (make_regen_chunk_fn(setup) if regen
+                         else make_chunk_fn(setup))
         if denoiser is None and any(
             c.enable and E.DENOISE_GROUP in c.groups
             for c in setup.ecfg.configs

@@ -121,29 +121,11 @@ def _offset_origin(p, ng, w):
     return p + n * 1e-4 * jnp.maximum(1.0, cm.length(p))[..., None]
 
 
-def trace(
-    scene: sb.SceneTables,
-    bvh,
-    dist: LightDistribution,
-    cfg: IntegratorConfig,
-    o0: Array,
-    d0: Array,
-    keys: Array,  # [P,2] per-(pixel,sample) key data
-    avg_ls: Array,  # [P, NL] denoised per-bounce mean luminance (ACRR)
-    win_bsdf: Array,  # [P, NB] denoised MIS win rates
-    win_light: Array,  # [P, NB]
-    feedback_on: Array,  # scalar bool: iteration > 1 (ACRR/SMIS feedback live)
-    albedo_luts=None,  # per-material reduced curves (render/albedo_lut.py)
-    ld_stream=None,  # (pixel scramble keys [P,2], sample index): LD modes
-) -> SampleOutput:
-    P = o0.shape[0]
-    NL = cfg.n_ls
-    NB = max(cfg.nb_mis, 1)
-
-    ls0 = jnp.zeros((P, NL, 3))
-    betas0 = jnp.ones((P, NL, 3))
-    carry = dict(
-        o=o0, d=d0, ls=ls0, betas=betas0,
+def _zero_path_carry(P: int, NL: int, NB: int) -> dict:
+    """Per-path state that resets at every sample start (regeneration)."""
+    return dict(
+        ls=jnp.zeros((P, NL, 3)),
+        betas=jnp.ones((P, NL, 3)),
         specular=jnp.zeros((P,), bool),
         active=jnp.ones((P,), bool),
         eta_scale=jnp.ones((P,)),
@@ -159,22 +141,34 @@ def trace(
         bounce=jnp.zeros((P,), jnp.int32),
     )
 
-    # Scan steps: one per bounce plus the escape/Le step, plus a bounded
-    # allowance for null-material pass-throughs (which do not advance the
-    # per-lane bounce counter, mirroring statpath.cpp:823-827).
-    n_steps = cfg.max_depth + 1 + cfg.null_extra
 
-    def body(carry, step):
-        o, d = carry["o"], carry["d"]
-        active = carry["active"]
-        betas, ls = carry["betas"], carry["ls"]
+def _bounce_step(scene, bvh, dist, cfg: IntegratorConfig, carry, step,
+                 keys, avg_ls, win_bsdf, win_light, feedback_on,
+                 albedo_luts, ld_stream):
+    """One lockstep bounce over all lanes.
+
+    `step` is the draw-site index: the scan counter in per-sample mode,
+    or the per-lane step-in-sample counter [P] under path regeneration
+    (both count physics steps from 0 at the sample start, so the random
+    streams are identical between the two drivers)."""
+    P = carry["o"].shape[0]
+    NL = cfg.n_ls
+    NB = max(cfg.nb_mis, 1)
+    o, d = carry["o"], carry["d"]
+    active = carry["active"]
+    betas, ls = carry["betas"], carry["ls"]
+    if True:  # (kept indentation of the former scan-body closure)
         # Per-lane bounce index (NOT the scan step): null pass-throughs
         # leave it unchanged, so all bounce-addressed state (per-bounce
         # Ls buffers, SMIS tallies, RR start) matches the reference's
         # bounces counter exactly.
         bl = carry["bounce"]
 
-        hit = intersect_scene(scene, o, d, bvh=bvh)
+        # Dead lanes carry t_max = 0: they cannot hit anything, and the
+        # fused kernel's per-tile cull sees a whole-dead ray tile as
+        # unable to vote for any triangle tile and skips the dots.
+        tmax_live = jnp.where(active, cm.INF, 0.0)
+        hit = intersect_scene(scene, o, d, t_max=tmax_live, bvh=bvh)
         found = hit.found & active
 
         # --- emitted light at the vertex (bounce 0 or after specular) ---
@@ -244,7 +238,8 @@ def trace(
         sh_o = _offset_origin(hit.p, hit.ng, lsamp.wi)
         occ = occluded_scene(
             scene, sh_o, lsamp.wi,
-            jnp.maximum(lsamp.dist * 0.999, 0.0), bvh=bvh,
+            jnp.where(lvalid, jnp.maximum(lsamp.dist * 0.999, 0.0), 0.0),
+            bvh=bvh,
         )
         li_l = jnp.where((lvalid & ~occ)[..., None], lsamp.li, 0.0)
         contributed_l = jnp.any(li_l > 0, -1) & lvalid
@@ -258,7 +253,8 @@ def trace(
         wi2 = frame.to_world(bsmp.wi)
         f_b = bsmp.f * cm.absdot(wi2, hit.ns)[..., None]
         bs_o = _offset_origin(hit.p, hit.ng, wi2)
-        hit2 = intersect_scene(scene, bs_o, wi2, bvh=bvh)
+        hit2 = intersect_scene(scene, bs_o, wi2,
+                               t_max=jnp.where(nee, cm.INF, 0.0), bvh=bvh)
         same_light = hit2.found & (hit2.light_id == light_id)
         li_b_hit = LT.area_light_le(scene, hit2.light_id, hit2.ng, -wi2)
         is_inf_light = scene.light_kind[light_id] == sb.LIGHT_INFINITE
@@ -427,19 +423,21 @@ def trace(
             normal=carry_normal, albedo=carry_albedo, n_rays=n_rays,
             path_len=path_len, cum_t=cum_t, bounce=bl_new,
         )
-        return new_carry, None
+        return new_carry
 
-    carry, _ = jax.lax.scan(body, carry, jnp.arange(n_steps))
 
-    # NaN / negative / infinite luminance scrub on the film estimate
-    # (statpath.cpp:333-351): only Ls[0] is scrubbed.
-    l0 = carry["ls"][:, 0, :]
+def _scrub_ls(ls):
+    """NaN / negative / infinite luminance scrub on the film estimate
+    (statpath.cpp:333-351): only Ls[0] is scrubbed."""
+    l0 = ls[:, 0, :]
     y = spec.luminance(l0)
     bad = jnp.isnan(jnp.sum(l0, -1)) | (y < -1e-5) | jnp.isinf(y)
-    ls = carry["ls"].at[:, 0, :].set(jnp.where(bad[..., None], 0.0, l0))
+    return ls.at[:, 0, :].set(jnp.where(bad[..., None], 0.0, l0))
 
+
+def _carry_output(cfg: IntegratorConfig, carry) -> SampleOutput:
     return SampleOutput(
-        ls=ls,
+        ls=_scrub_ls(carry["ls"]),
         mis_bsdf=carry["mis_bsdf"][:, : max(cfg.nb_mis, 1)],
         mis_light=carry["mis_light"][:, : max(cfg.nb_mis, 1)],
         mat_id=carry["mat_id"],
@@ -449,3 +447,171 @@ def trace(
         n_rays=carry["n_rays"],
         path_len=carry["path_len"],
     )
+
+
+def trace(
+    scene: sb.SceneTables,
+    bvh,
+    dist: LightDistribution,
+    cfg: IntegratorConfig,
+    o0: Array,
+    d0: Array,
+    keys: Array,  # [P,2] per-(pixel,sample) key data
+    avg_ls: Array,  # [P, NL] denoised per-bounce mean luminance (ACRR)
+    win_bsdf: Array,  # [P, NB] denoised MIS win rates
+    win_light: Array,  # [P, NB]
+    feedback_on: Array,  # scalar bool: iteration > 1 (ACRR/SMIS feedback live)
+    albedo_luts=None,  # per-material reduced curves (render/albedo_lut.py)
+    ld_stream=None,  # (pixel scramble keys [P,2], sample index): LD modes
+) -> SampleOutput:
+    """Per-sample lockstep driver: every lane traces exactly one sample
+    through a fixed-length bounce scan.  Shares `_bounce_step` with the
+    path-regeneration driver (`trace_wavefront`); both produce identical
+    per-sample outputs (the random streams are addressed by
+    (pixel, sample, step-in-sample, slot) in both)."""
+    P = o0.shape[0]
+    carry = dict(o=o0, d=d0,
+                 **_zero_path_carry(P, cfg.n_ls, max(cfg.nb_mis, 1)))
+
+    # Scan steps: one per bounce plus the escape/Le step, plus a bounded
+    # allowance for null-material pass-throughs (which do not advance the
+    # per-lane bounce counter, mirroring statpath.cpp:823-827).
+    n_steps = cfg.max_depth + 1 + cfg.null_extra
+
+    def body(carry, step):
+        new_carry = _bounce_step(
+            scene, bvh, dist, cfg, carry, step, keys,
+            avg_ls, win_bsdf, win_light, feedback_on,
+            albedo_luts, ld_stream,
+        )
+        return new_carry, None
+
+    carry, _ = jax.lax.scan(body, carry, jnp.arange(n_steps))
+    return _carry_output(cfg, carry)
+
+
+def trace_wavefront(
+    scene: sb.SceneTables,
+    bvh,
+    dist: LightDistribution,
+    cfg: IntegratorConfig,
+    gen_ray_fn,  # (u_cam [P,2], sample_idx [P]) -> (o [P,3], d [P,3])
+    pixel_ids: Array,  # [P] global pixel ids
+    base_key: Array,
+    sample_start,  # first sample index (scalar int32)
+    n_samples: int,  # samples per lane this dispatch (static)
+    avg_ls: Array,
+    win_bsdf: Array,
+    win_light: Array,
+    feedback_on: Array,
+    record_fn,  # (SampleOutput, done [P] bool, acc) -> acc
+    acc0,  # accumulator pytree threaded through record_fn
+    albedo_luts=None,
+):
+    """Path-regeneration wavefront driver.
+
+    The per-sample scan wastes every lane whose path terminated early:
+    with RR from bounce 4 the mean path uses ~half of the
+    max_depth+1 steps, so ~half of all intersection + shading work is
+    masked-off lanes.  Here a lane that finishes its sample immediately
+    starts its next one (per-lane sample counter), keeping lanes ~100%
+    occupied until the tail of the last sample; completed samples are
+    recorded via `record_fn` the moment they finish.  Per-pixel sample
+    order is preserved (each lane walks its own samples sequentially),
+    so film sums and streaming moment updates are bit-identical to the
+    per-sample driver: masked no-op updates add exact zeros.
+
+    There is no counterpart in the reference -- its CPU threads simply
+    run variable-length loops (statpath.cpp:761-958); regeneration is
+    the TPU-native answer to lockstep divergence.
+    """
+    P = pixel_ids.shape[0]
+    NL = cfg.n_ls
+    NB = max(cfg.nb_mis, 1)
+    n_steps = cfg.max_depth + 1 + cfg.null_extra
+    scr = (crng.pixel_scramble(base_key, pixel_ids)
+           if cfg.sampler_mode != crng.MODE_RANDOM else None)
+
+    sample_start = jnp.asarray(sample_start, jnp.int32)
+
+    carry0 = dict(
+        o=jnp.zeros((P, 3)), d=jnp.zeros((P, 3)),
+        **_zero_path_carry(P, NL, NB),
+    )
+    # All lanes start "between samples": the first loop iteration
+    # regenerates sample 0 for every lane.
+    carry0["active"] = jnp.zeros((P,), bool)
+    state0 = dict(
+        carry=carry0,
+        keys=jnp.zeros((P, 2), jnp.uint32),
+        live=jnp.zeros((P,), bool),
+        s_local=jnp.full((P,), -1, jnp.int32),  # current sample (local)
+        sis=jnp.zeros((P,), jnp.int32),  # step-in-sample draw counter
+        t=jnp.zeros((), jnp.int32),
+        acc=acc0,
+    )
+
+    def cond(st):
+        more = st["live"] | (st["s_local"] + 1 < n_samples)
+        return (st["t"] < n_samples * n_steps) & jnp.any(more)
+
+    def body(st):
+        carry = st["carry"]
+        # --- regenerate finished lanes ---------------------------------
+        regen = ~st["live"] & (st["s_local"] + 1 < n_samples)
+        s_new = jnp.where(regen, st["s_local"] + 1, st["s_local"])
+        sample_idx = sample_start + jnp.maximum(s_new, 0)
+        fresh_keys = crng.pixel_keys(base_key, pixel_ids, sample_idx)
+        keys = jnp.where(regen[:, None], fresh_keys, st["keys"])
+        ld = (scr, sample_idx) if scr is not None else None
+        u_cam = crng.draw_2d(keys, ld, cfg.sampler_mode, 0,
+                             crng.SLOT_CAMERA)
+        o_new, d_new = gen_ray_fn(u_cam, sample_idx)
+        fresh = _zero_path_carry(P, NL, NB)
+        fresh["o"], fresh["d"] = o_new, d_new
+
+        def sel(new, old):
+            r = regen
+            while r.ndim < new.ndim:
+                r = r[..., None]
+            return jnp.where(r, new, old)
+
+        carry = {k: sel(fresh[k], carry[k]) for k in carry}
+        live = st["live"] | regen
+        carry["active"] = carry["active"] & live
+        sis = jnp.where(regen, 0, st["sis"])
+
+        # --- one lockstep physics step ----------------------------------
+        carry = _bounce_step(
+            scene, bvh, dist, cfg, carry, sis, keys,
+            avg_ls, win_bsdf, win_light, feedback_on,
+            albedo_luts, ld,
+        )
+        sis = sis + 1
+
+        # --- record finished samples ------------------------------------
+        done = live & (~carry["active"] | (sis >= n_steps))
+        out = _carry_output(cfg, carry)
+        # Sanitize: non-done lanes contribute exact zeros so masked
+        # moment updates are no-ops even if an in-flight lane holds
+        # inf/NaN (0 * inf = NaN would otherwise poison w=0 updates).
+        dm = done[:, None]
+        out = out._replace(
+            ls=jnp.where(done[:, None, None], out.ls, 0.0),
+            mis_bsdf=jnp.where(dm, out.mis_bsdf, 0.0),
+            mis_light=jnp.where(dm, out.mis_light, 0.0),
+            mat_id=jnp.where(done, out.mat_id, 0.0),
+            depth=jnp.where(done, out.depth, 0.0),
+            normal=jnp.where(dm, out.normal, 0.0),
+            albedo=jnp.where(dm, out.albedo, 0.0),
+            n_rays=jnp.where(done, out.n_rays, 0.0),
+            path_len=jnp.where(done, out.path_len, 0.0),
+        )
+        acc = record_fn(out, done, st["acc"])
+        return dict(
+            carry=carry, keys=keys, live=live & ~done,
+            s_local=s_new, sis=sis, t=st["t"] + 1, acc=acc,
+        )
+
+    state = jax.lax.while_loop(cond, body, state0)
+    return state["acc"]

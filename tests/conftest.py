@@ -32,3 +32,45 @@ jax.config.update("jax_threefry_partitionable", True)
 assert jax.device_count() >= 8, (
     f"expected 8 virtual CPU devices, got {jax.device_count()}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Fast tier: the default developer loop is `pytest tests/ -m "not slow"`
+# (~2-3 min); the full suite (~10 min) runs in CI / before commits that
+# touch the integrator.  Centralized here instead of per-file decorators
+# so the tier can be retuned from one list (durations from
+# `pytest --durations=40`).
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_SLOW_TESTS = {
+    "test_ld_render_matches_random_mean",
+    "test_scene_with_marble_kd_renders",
+    "test_checkpoint_resume_bitexact",
+    "test_mesh_render_matches_single_device",
+    "test_driver_picks_fused_and_renders",
+    "test_nee_vs_bsdf_only_materials",
+    "test_scene_with_tessellated_shapes_renders",
+    "test_directlighting_darker_than_path",
+    "test_textured_render",
+    "test_path_name_renders",
+    "test_scene_with_new_materials_renders",
+    "test_whitted_darker_than_path",
+    "test_nee_matches_bsdf_only_ground_truth",
+    "test_denoise_from_disk_roundtrip",
+    "test_goniometric_light_no_map_equals_point",
+    "test_whitted_and_volpath_accepted",
+    "test_stats_continue_across_iterations",
+    "test_cone_lod_smooths_distant_checker",
+    "test_halton_mode_low_discrepancy",
+    "test_regen_matches_with_acrr_smis",
+    "test_regen_matches_per_sample_ld",
+    "test_regen_matches_pixelbounds_crop",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
