@@ -151,6 +151,9 @@ def ld_camera_jitter(keys: Array, sample_index) -> Array:
 MODE_RANDOM = 0
 MODE_02 = 1
 MODE_HALTON = 2
+# Lockstep replay of the reference's serial per-tile PCG32 streams from
+# a host-precomputed table (core/lockstep.py); ld = (table[P,S,D], n).
+MODE_LOCKSTEP = 3
 
 N_SLOTS = 8  # draw sites per bounce (slots above)
 
@@ -163,6 +166,7 @@ SAMPLER_MODES = {
     "sobol": MODE_02,
     "maxmindist": MODE_02,
     "halton": MODE_HALTON,
+    "lockstep": MODE_LOCKSTEP,
 }
 
 
@@ -213,9 +217,49 @@ def _ld_fold(scramble_keys: Array, bounce, slot: int) -> Array:
     return _site_keys(scramble_keys, bounce, slot)
 
 
+# Lockstep table layout (core/lockstep.py): 5 camera dims then 8 per
+# bounce.  BSDF_COMPONENT reuses uScattering.x / the continuation
+# sample's x, mirroring pbrt's BSDF::Sample_f which derives the BxDF
+# component choice from u[0] of the SAME 2D sample it remaps
+# (src/core/reflection.cpp BSDF::Sample_f).
+_LOCKSTEP_POS = {
+    SLOT_CAMERA: (0, 1),
+    SLOT_LIGHT_SELECT: (5 + 0,),
+    SLOT_LIGHT_SAMPLE: (5 + 1, 5 + 2),
+    SLOT_BSDF_COMPONENT: (5 + 3,),
+    SLOT_BSDF_NEE: (5 + 3, 5 + 4),
+    SLOT_BSDF_COMPONENT_PC: (5 + 5,),
+    SLOT_BSDF: (5 + 5, 5 + 6),
+    SLOT_RR: (5 + 7,),
+}
+
+
+def _lockstep_draw(ld, bounce, slot: int) -> list:
+    """Values for (bounce, slot) from a lockstep table.
+
+    ld = (tab [P,S,D], n);  n scalar or [P];  bounce scalar or [P].
+    Camera dims are absolute; bounce dims offset by 8*bounce."""
+    tab, n = ld
+    P, S, D = tab.shape
+    nn = jnp.clip(jnp.broadcast_to(jnp.asarray(n, jnp.int32), (P,)), 0, S - 1)
+    row = jnp.take_along_axis(tab, nn[:, None, None], axis=1)[:, 0]  # [P,D]
+    if slot == SLOT_CAMERA:
+        offs = jnp.zeros((P,), jnp.int32)
+    else:
+        b = jnp.broadcast_to(jnp.asarray(bounce, jnp.int32), (P,))
+        offs = 8 * b
+    out = []
+    for pos in _LOCKSTEP_POS[slot]:
+        idx = jnp.clip(offs + pos, 0, D - 1)
+        out.append(jnp.take_along_axis(row, idx[:, None], axis=1)[:, 0])
+    return out
+
+
 def draw_1d(keys: Array, ld, mode: int, bounce, slot: int) -> Array:
     """One uniform per lane at draw site (bounce, slot) under the given
     sampler mode.  ld = (scramble_keys [P,2], sample_index) or None."""
+    if mode == MODE_LOCKSTEP and ld is not None:
+        return _lockstep_draw(ld, bounce, slot)[0]
     if mode == MODE_RANDOM or ld is None:
         return uniform_1d(keys, bounce, slot)
     scr, n = ld
@@ -234,6 +278,9 @@ def draw_1d(keys: Array, ld, mode: int, bounce, slot: int) -> Array:
 
 def draw_2d(keys: Array, ld, mode: int, bounce, slot: int) -> Array:
     """[P,2] uniforms at draw site (bounce, slot) under the mode."""
+    if mode == MODE_LOCKSTEP and ld is not None:
+        u0, u1 = _lockstep_draw(ld, bounce, slot)
+        return jnp.stack([u0, u1], axis=-1)
     if mode == MODE_RANDOM or ld is None:
         return uniform_2d(keys, bounce, slot)
     scr, n = ld

@@ -53,6 +53,7 @@ class RenderSetup:
     pixel_mask: Any = None  # [P] bool crop (integrator pixelbounds)
     sampler: str = "random"
     albedo_luts: Any = None  # (lut_d [M,K], lut_rest [M,K]) or None
+    lockstep_tab: Any = None  # [P,S,D] pbrt-stream replay (core/lockstep.py)
 
 
 def prepare(desc: SceneDescription, base_seed: int = 0,
@@ -182,6 +183,26 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
             lambda: precompute_material_curves(scene_dev)
         )()
 
+    # Lockstep parity mode: precompute the reference's serial PCG32
+    # draw streams as a (pixel, sample, dim) table (core/lockstep.py).
+    lockstep_tab = None
+    if desc.sampler_name == "lockstep":
+        from .core import lockstep as LS
+
+        total_spp = (pixel_samples << (ecfg.iterations - 1)
+                     if ecfg.exp_iterations
+                     else pixel_samples * ecfg.iterations)
+        D = LS.dims_per_sample(ecfg.max_depth + 1)
+        nbytes = width * height * total_spp * D * 4
+        if nbytes > 1 << 29:
+            raise ValueError(
+                "lockstep sampler table would need "
+                f"{nbytes / 1e9:.1f} GB; lockstep mode is for parity "
+                "runs at reduced resolution/spp"
+            )
+        lockstep_tab = jnp.asarray(LS.make_table(
+            width, height, total_spp, ecfg.max_depth + 1, base_seed))
+
     return RenderSetup(
         scene=scene_dev, bvh=bvh, dist=dist, cam=cam,
         icfg=icfg, ecfg=ecfg, width=width, height=height,
@@ -190,6 +211,7 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
         else None,
         sampler=desc.sampler_name,
         albedo_luts=albedo_luts,
+        lockstep_tab=lockstep_tab,
     )
 
 
@@ -210,7 +232,11 @@ def make_sample_fn(setup: RenderSetup):
         keys = crng.pixel_keys(base_key, pixel_ids, sample_index)
         mode = icfg.sampler_mode
         ld = None
-        if mode != crng.MODE_RANDOM:
+        if mode == crng.MODE_LOCKSTEP:
+            # Replay the reference's per-tile PCG32 streams: gather this
+            # block's pixel rows from the precomputed table.
+            ld = (setup.lockstep_tab[pixel_ids], sample_index)
+        elif mode != crng.MODE_RANDOM:
             # Low-discrepancy streams over every draw site: pixel-stable
             # scramble keys + the global sample index (core/rng.py).
             scr = crng.pixel_scramble(base_key, pixel_ids)
@@ -470,6 +496,10 @@ class Renderer:
         self.s = setup
         # Path regeneration is the product path; regen=False keeps the
         # per-sample scan driver (tests compare the two for equality).
+        # Lockstep parity mode pins the per-sample driver: its draw
+        # table is plumbed through make_sample_fn only.
+        if setup.icfg.sampler_mode == crng.MODE_LOCKSTEP:
+            regen = False
         self.chunk_fn = (make_regen_chunk_fn(setup) if regen
                          else make_chunk_fn(setup))
         if denoiser is None and any(

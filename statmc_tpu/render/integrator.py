@@ -163,6 +163,11 @@ def _bounce_step(scene, bvh, dist, cfg: IntegratorConfig, carry, step,
         # Ls buffers, SMIS tallies, RR start) matches the reference's
         # bounces counter exactly.
         bl = carry["bounce"]
+        # Draw-site index: lockstep replay addresses the table by the
+        # per-lane bounce counter (null pass-throughs consume NO draws,
+        # matching statpath.cpp:823-827 which re-spawns before any
+        # sampler call); all other modes use the physics step counter.
+        dstep = bl if cfg.sampler_mode == crng.MODE_LOCKSTEP else step
 
         # Dead lanes carry t_max = 0: they cannot hit anything, and the
         # fused kernel's per-tile cull sees a whole-dead ray tile as
@@ -224,9 +229,9 @@ def _bounce_step(scene, bvh, dist, cfg: IntegratorConfig, carry, step,
         if not cfg.enable_nee:
             nee = jnp.zeros_like(nee)
 
-        u_sel = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, step, crng.SLOT_LIGHT_SELECT)
+        u_sel = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_LIGHT_SELECT)
         light_id, sel_pmf = sample_light_id(dist, u_sel, hit.p)
-        u_light = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, step, crng.SLOT_LIGHT_SAMPLE)
+        u_light = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_LIGHT_SAMPLE)
         p_off_wi = hit.p  # offset applied per ray below
 
         lsamp = LT.sample_li(scene, light_id, hit.p, hit.ng, u_light)
@@ -247,8 +252,8 @@ def _bounce_step(scene, bvh, dist, cfg: IntegratorConfig, carry, step,
         contr_l = f_l * li_l / jnp.maximum(lsamp.pdf, 1e-30)[..., None]
 
         # BSDF half of EstimateDirect.
-        u_bs = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, step, crng.SLOT_BSDF_NEE)
-        uc_bs = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, step, crng.SLOT_BSDF_COMPONENT)
+        u_bs = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_BSDF_NEE)
+        uc_bs = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_BSDF_COMPONENT)
         bsmp = B.sample(m, wo_l, u_bs, uc_bs)
         wi2 = frame.to_world(bsmp.wi)
         f_b = bsmp.f * cm.absdot(wi2, hit.ns)[..., None]
@@ -342,8 +347,8 @@ def _bounce_step(scene, bvh, dist, cfg: IntegratorConfig, carry, step,
         mis_light = carry["mis_light"] + bhot * (sm * inc_lt)[:, None]
 
         # --- BSDF sampling for path continuation ------------------------
-        u_pc = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, step, crng.SLOT_BSDF)
-        uc_pc = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, step, crng.SLOT_BSDF_COMPONENT_PC)
+        u_pc = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_BSDF)
+        uc_pc = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_BSDF_COMPONENT_PC)
         psmp = B.sample(m, wo_l, u_pc, uc_pc)
         wi_c = frame.to_world(psmp.wi)
         bsdf_beta = (
@@ -396,7 +401,7 @@ def _bounce_step(scene, bvh, dist, cfg: IntegratorConfig, carry, step,
         )
         survival = rr_beta_max * avg
         q = jnp.maximum(0.05, 1.0 - survival)
-        u_rr = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, step, crng.SLOT_RR)
+        u_rr = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_RR)
         do_rr = rr_here & active & (survival < cfg.rr_threshold)
         killed = do_rr & (u_rr < q)
         active = active & ~killed

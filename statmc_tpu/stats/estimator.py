@@ -99,36 +99,41 @@ class EstimatorConfig:
 def derive_config(params: ParamSet, extra: ParamSet,
                   pixel_samples: int = 16) -> EstimatorConfig:
     """The config compiler (statpath.cpp:960-1173), semantically exact."""
-    max_depth = int(extra.find_one(
-        "integratormaxdepth", params.find_one("maxdepth", 5)))
-    n_tracked = int(extra.find_one(
-        "integratortrackedbounces",
-        params.find_one("trackedbounces", max_depth)))
-    multichannel = bool(params.find_one("multichannelstats", True))
-    enable_acrr = bool(params.find_one("acrr", False))
-    enable_smis = bool(params.find_one("smis", False))
-    calc_proden = bool(params.find_one("calcprodenstats", False))
-    calc_moon = bool(params.find_one("calcmoonstats", False))
-    calc_gbuffers = bool(params.find_one("calcgbuffers", False))
-    calc_stats = bool(params.find_one("calcstats", False))
-    denoise_image = bool(params.find_one("denoiseimage", False))
-    calc_it_stats = bool(params.find_one("calcitstats", False))
+    # Every integrator knob is overridable through the ExtraParams
+    # channel under the "integrator"-prefixed name, matching the
+    # reference's scene-level override reads (statpath.cpp:966-1024
+    # reads e.g. "integratormaxdepth", "integratoriterations").
+    def g(key, default):
+        return extra.find_one("integrator" + key,
+                              params.find_one(key, default))
+
+    max_depth = int(g("maxdepth", 5))
+    n_tracked = int(g("trackedbounces", max_depth))
+    multichannel = bool(g("multichannelstats", True))
+    enable_acrr = bool(g("acrr", False))
+    enable_smis = bool(g("smis", False))
+    calc_proden = bool(g("calcprodenstats", False))
+    calc_moon = bool(g("calcmoonstats", False))
+    calc_gbuffers = bool(g("calcgbuffers", False))
+    calc_stats = bool(g("calcstats", False))
+    denoise_image = bool(g("denoiseimage", False))
+    calc_it_stats = bool(g("calcitstats", False))
 
     cfg = EstimatorConfig(
         configs=[StatTypeConfig(type=t) for t in range(N_STAT_TYPES)],
         max_depth=max_depth,
-        iterations=int(params.find_one("iterations", 16)),
-        exp_iterations=bool(params.find_one("expiterations", True)),
+        iterations=int(g("iterations", 16)),
+        exp_iterations=bool(g("expiterations", True)),
         multichannel=multichannel,
         enable_acrr=enable_acrr,
         enable_smis=enable_smis,
         denoise_image=denoise_image,
         calc_it_stats=calc_it_stats,
-        filter_sd=float(params.find_one("filtersd", 10.0)),
-        filter_radius=int(params.find_one("filterradius", 20)),
-        rr_threshold=float(params.find_one("rrthreshold", 1.0)),
-        light_strategy=str(params.find_one("lightsamplestrategy", "spatial")),
-        output_regex=str(params.find_one("outputregex", "film.*")),
+        filter_sd=float(g("filtersd", 10.0)),
+        filter_radius=int(g("filterradius", 20)),
+        rr_threshold=float(g("rrthreshold", 1.0)),
+        light_strategy=str(g("lightsamplestrategy", "spatial")),
+        output_regex=str(g("outputregex", "film.*")),
         tracked_bounces=n_tracked,
         pixel_samples=pixel_samples,
     )
