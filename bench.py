@@ -34,7 +34,7 @@ import time
 import jax
 import numpy as np
 
-WIDTH, HEIGHT = 640, 360   # veach-mis aspect (1280x720 / 2)
+WIDTH, HEIGHT = 1280, 720  # the scene's own Film resolution
 SPP = 16
 MAXDEPTH = 16              # the scene's own ExtraParams choice
 DENOISE_BATCH = 8

@@ -30,13 +30,22 @@ def main(argv=None):
                     help="run one throwaway iteration first")
     ap.add_argument("--outdir", default="out",
                     help="output directory (default: out/)")
+    ap.add_argument("--mesh", default=None, metavar="SPPxPX",
+                    help="multi-device mesh, e.g. 2x4 (samples x pixel "
+                         "rows), or 'auto' for 1 x n_devices")
     ap.add_argument("--iterations", type=int, default=None,
                     help="override iteration count")
     args = ap.parse_args(argv)
 
     from .driver import load
 
-    r = load(args.scene, base_seed=args.baseseed)
+    mesh = args.mesh
+    if mesh and mesh != "auto":
+        from statmc_tpu.parallel.shard import make_mesh
+
+        n_spp, n_px = (int(v) for v in mesh.lower().split("x"))
+        mesh = make_mesh(n_spp, n_px)
+    r = load(args.scene, base_seed=args.baseseed, mesh=mesh)
     tev = None
     if args.displayserver:
         from .io.display import TevClient

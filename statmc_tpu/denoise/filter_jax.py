@@ -201,13 +201,15 @@ class StatDenoiser:
         self.radius = int(ecfg.filter_radius)
         self._jit_bounce = {}  # (C, with_film, Gp) -> jitted fn
 
-    def _gbuffers(self, states):
+    def _gbuffers(self, states, height=None):
         """Collect enabled filter G-buffer means.
 
         Returns (stacked [G,H,W,3], per-buffer factors [G],
                  planes [H,W,Gp], per-plane factors tuple).
+        height overrides self.H (sharded denoise: local row slab).
         """
         E = self.E
+        H = self.H if height is None else height
         gb, factors, planes, pfac = [], [], [], []
         for t in (E.STAT_MATERIAL_ID, E.STAT_DEPTH, E.STAT_NORMAL,
                   E.STAT_ALBEDO):
@@ -216,30 +218,36 @@ class StatDenoiser:
                 # Stays on device: host roundtrips here dominated the
                 # denoise wall-clock before (measured 50x the kernel).
                 fm = states[t].get("film_mean", states[t]["mean"])[0]
-                img = fm.reshape(self.H, self.W, c.n_channels)
+                img = fm.reshape(H, self.W, c.n_channels)
                 fac = -0.5 / (c.filter_sd * c.filter_sd)
                 planes.append(img)
                 pfac.extend([fac] * c.n_channels)
                 if c.n_channels == 1:
                     img = jnp.concatenate(
-                        [img, jnp.zeros((self.H, self.W, 2))], -1
+                        [img, jnp.zeros((H, self.W, 2))], -1
                     )
                 gb.append(img)
                 factors.append(fac)
         if gb:
             return (jnp.stack(gb), jnp.asarray(factors, jnp.float32),
                     jnp.concatenate(planes, -1), tuple(pfac))
-        return (jnp.zeros((0, self.H, self.W, 3)),
+        return (jnp.zeros((0, H, self.W, 3)),
                 jnp.zeros((0,), jnp.float32),
-                jnp.zeros((self.H, self.W, 0)), ())
+                jnp.zeros((H, self.W, 0)), ())
 
-    def __call__(self, state, cfg_type, film, width, height, gbufs=None):
+    def __call__(self, state, cfg_type, film, width, height, gbufs=None,
+                 halo=None):
         """Filter all bounce buffers of one stat type.
 
         state: MomentState [NB,P,C]; film: [H,W,3] actual film image for
         Radiance (or None).  Returns derived buffers [NB,P,C] + film_f.
         gbufs overrides the prepare_gbuffers cache (pass explicitly when
         tracing under an outer jit -- the cache must never hold tracers).
+        halo: optional exchange fn ([h,W,C] -> [h+2r,W,C]); when set,
+        this call runs on a LOCAL row slab under shard_map — every field
+        is halo-extended before filtering and outputs are cropped back
+        (the ICI-native decomposition of the reference's whole-frame
+        launch, estimator.cpp:427-489).
         """
         H, W = height, width
         NB = state["n"].shape[0]
@@ -249,6 +257,13 @@ class StatDenoiser:
         if gbufs is None:
             raise RuntimeError("call prepare_gbuffers(states) first")
         gb, gf, gb_planes, gf_planes = gbufs
+
+        r = self.radius
+        if halo is not None:
+            ex = halo
+            valid = ex(jnp.ones((H, W, 1)))[..., 0]
+            gb_e = (jnp.stack([ex(gb[g]) for g in range(gb.shape[0])])
+                    if gb.shape[0] else jnp.zeros((0, H + 2 * r, W, 3)))
 
         outs = {"mean_corr": [], "discriminator": [], "film_mean_f": []}
         film_f = None
@@ -260,7 +275,17 @@ class StatDenoiser:
                 H, W, C)
             fm = state.get("film_mean", state["mean"])[j].reshape(H, W, C)
             fi = film if (film is not None and j == 0) else None
-            if self.impl == "pallas":
+            if halo is not None:
+                res = stat_filter(
+                    ex(n_img[..., None])[..., 0], ex(mean), ex(m2),
+                    ex(m3), ex(fm), gb_e, gf, self.ds_factor,
+                    self.tq, self.radius,
+                    film_img=None if fi is None else ex(fi),
+                    valid=valid, moon_ci=self.moon_ci,
+                )
+                res = {k: (v[r:r + H] if v is not None else None)
+                       for k, v in res.items()}
+            elif self.impl == "pallas":
                 key = (C, fi is not None, int(gb_planes.shape[-1]))
                 if key not in self._jit_bounce:
                     self._jit_bounce[key] = self._make_jit_bounce(

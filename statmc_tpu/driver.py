@@ -487,21 +487,64 @@ def make_regen_chunk_fn(setup: RenderSetup):
     return jax.jit(chunk, static_argnames=("n_samples",))
 
 
+def _adapt_sharded_chunk(sharded_fn, P: int):
+    """Match the mesh-sharded chunk (parallel/shard.py) to the driver's
+    chunk signature: synthesize pad-aliased pixel ids and fold the
+    chunk's psum'd STAT counter delta into the running accumulator."""
+
+    def wrapper(states, film_sum, film_w, ray_total, stats_acc, base_key,
+                sample_start, avg_ls, win_b, win_l, feedback_on,
+                n_samples):
+        Pp = film_w.shape[0]
+        pixel_ids = jnp.minimum(jnp.arange(Pp, dtype=jnp.int32), P - 1)
+        states, film_sum, film_w, ray_total, delta = sharded_fn(
+            states, film_sum, film_w, ray_total, base_key, sample_start,
+            pixel_ids, avg_ls, win_b, win_l, feedback_on,
+            n_samples=n_samples,
+        )
+        stats_acc = {
+            k: (jnp.maximum(stats_acc[k], v) if k == "path_len_max"
+                else stats_acc[k] + v)
+            for k, v in delta.items()
+        }
+        return states, film_sum, film_w, ray_total, stats_acc
+
+    return wrapper
+
+
 class Renderer:
     """Owns device state across the iteration loop; the Python analogue of
     StatPathIntegrator::Render (statpath.cpp:118-440)."""
 
     def __init__(self, setup: RenderSetup, denoiser=None,
-                 regen: bool = True):
+                 regen: bool = True, mesh=None):
         self.s = setup
-        # Path regeneration is the product path; regen=False keeps the
-        # per-sample scan driver (tests compare the two for equality).
-        # Lockstep parity mode pins the per-sample driver: its draw
-        # table is plumbed through make_sample_fn only.
-        if setup.icfg.sampler_mode == crng.MODE_LOCKSTEP:
-            regen = False
-        self.chunk_fn = (make_regen_chunk_fn(setup) if regen
-                         else make_chunk_fn(setup))
+        # Multi-device product path: a ("spp","px") jax.sharding.Mesh
+        # swaps in the mesh-sharded chunk function and the halo-exchange
+        # sharded denoise (parallel/shard.py); N-device renders equal
+        # 1-device renders exactly (counter-addressed RNG + Chan moment
+        # combine).  mesh=None keeps the single-device path.
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.shard import (
+                make_sharded_chunk_fn, replicate_scene,
+            )
+
+            setup = replicate_scene(setup, mesh)
+            self.s = setup
+            self.chunk_fn = _adapt_sharded_chunk(
+                make_sharded_chunk_fn(setup, mesh),
+                setup.width * setup.height,
+            )
+        else:
+            # Path regeneration is the product path; regen=False keeps
+            # the per-sample scan driver (tests compare the two for
+            # equality).  Lockstep parity mode pins the per-sample
+            # driver: its draw table is plumbed through make_sample_fn.
+            if setup.icfg.sampler_mode == crng.MODE_LOCKSTEP:
+                regen = False
+            self.chunk_fn = (make_regen_chunk_fn(setup) if regen
+                             else make_chunk_fn(setup))
         if denoiser is None and any(
             c.enable and E.DENOISE_GROUP in c.groups
             for c in setup.ecfg.configs
@@ -514,9 +557,18 @@ class Renderer:
         self.max_samples_per_dispatch = 4
         P = setup.width * setup.height
         self.P = P
-        # Device arrays are padded to a whole number of pixel blocks
-        # (padded_pixel_count); the pad slice is write-only garbage.
-        self.Pp = padded_pixel_count(P)[0]
+        if mesh is not None:
+            # Mesh mode: the pixel axis shards over "px" (no block
+            # loop), and each dispatch strides samples over "spp".
+            n_px = mesh.shape["px"]
+            n_spp = mesh.shape["spp"]
+            self.Pp = ((P + n_px - 1) // n_px) * n_px
+            self.max_samples_per_dispatch = max(
+                4, n_spp) // n_spp * n_spp
+        else:
+            # Device arrays are padded to a whole number of pixel blocks
+            # (padded_pixel_count); the pad slice is write-only garbage.
+            self.Pp = padded_pixel_count(P)[0]
         self.reset()
 
     def reset(self):
@@ -641,6 +693,11 @@ class Renderer:
             self.win_b, self.win_l = wb, wl
 
     def _build_denoise_fn(self):
+        if self.mesh is not None and self.mesh.shape["px"] > 1 \
+                and self.s.height % self.mesh.shape["px"] == 0 \
+                and (self.s.height // self.mesh.shape["px"]
+                     >= self.s.ecfg.filter_radius):
+            return self._build_denoise_fn_sharded()
         s = self.s
         W, H = s.width, s.height
         P, Pp = self.P, self.Pp
@@ -704,6 +761,110 @@ class Renderer:
             return derived, film_f, avg, wb, wl
 
         return jax.jit(run)
+
+    def _build_denoise_fn_sharded(self):
+        """Row-sharded denoise: the FULL filter program (Johnson stats +
+        t-test/discriminator filter + film path + ACRR/SMIS feedback)
+        runs per device on its row slab with ppermute halo exchange over
+        the "px" axis (parallel/shard.py pattern applied to the product
+        pass).  Results are bit-comparable to the replicated pass: halo
+        rows past the global image edge carry zero validity, exactly
+        like the unsharded filter's edge handling."""
+        from jax.sharding import PartitionSpec as PS
+
+        try:
+            from jax.experimental.shard_map import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.shard_map import shard_map
+
+        s = self.s
+        mesh = self.mesh
+        n_px = mesh.shape["px"]
+        W, H = s.width, s.height
+        hl = H // n_px
+        assert self.Pp == self.P, "sharded denoise needs unpadded pixels"
+        NL = s.icfg.n_ls
+        denoiser = self.denoiser
+        r = int(s.ecfg.filter_radius)
+
+        def exchange(x):
+            """[hl,W,C] -> [hl+2r,W,C]; zeros past the global edges."""
+            fwd = [(i, i + 1) for i in range(n_px - 1)]
+            bwd = [(i + 1, i) for i in range(n_px - 1)]
+            from_prev = jax.lax.ppermute(x[-r:], "px", fwd)
+            from_next = jax.lax.ppermute(x[:r], "px", bwd)
+            return jnp.concatenate([from_prev, x, from_next], axis=0)
+
+        enabled = [c.type for c in s.ecfg.configs
+                   if c.enable and E.DENOISE_GROUP in c.groups]
+        rad = s.ecfg.configs[E.RADIANCE]
+
+        def run_local(states, film_sum, film_w):
+            film_flat = film_sum / jnp.maximum(film_w, 1.0)[..., None]
+            film_flat = spec.xyz_to_rgb(spec.rgb_to_xyz(film_flat))
+            film = film_flat.reshape(hl, W, 3)
+            gbufs = denoiser._gbuffers(states, height=hl)
+            derived = {}
+            film_f = None
+            for c in s.ecfg.configs:
+                if c.type not in enabled:
+                    continue
+                res = denoiser(
+                    states[c.type], c,
+                    film if c.type == E.RADIANCE else None, W, hl,
+                    gbufs=gbufs, halo=exchange,
+                )
+                if c.type == E.RADIANCE and s.ecfg.denoise_image:
+                    film_f = res["film_f"]
+                    if c.n_channels == 3:
+                        res = dict(res)
+                        res["film_mean_f"] = res["film_mean_f"].at[0].set(
+                            film_f.reshape(-1, 3))
+                derived[c.type] = res
+            avg = wb = wl = None
+            if rad.enable and E.RADIANCE in derived:
+                fmf = derived[E.RADIANCE]["film_mean_f"]
+                lum = (spec.luminance(fmf) if rad.n_channels == 3
+                       else fmf[..., 0])
+                avg = jnp.swapaxes(lum, 0, 1)
+                if avg.shape[1] < NL:
+                    avg = jnp.pad(avg, ((0, 0), (0, NL - avg.shape[1])))
+                avg = avg[:, :NL]
+            if s.ecfg.enable_smis and E.MIS_BSDF_WIN_RATE in derived:
+                wb = jnp.swapaxes(
+                    derived[E.MIS_BSDF_WIN_RATE]["film_mean_f"][..., 0],
+                    0, 1)
+                wl = jnp.swapaxes(
+                    derived[E.MIS_LIGHT_WIN_RATE]["film_mean_f"][..., 0],
+                    0, 1)
+            return derived, film_f, avg, wb, wl
+
+        # out_specs mirror run_local's statically-known branching.
+        sd = PS(None, "px", None)
+        derived_spec = {}
+        film_f_spec = None
+        for t in enabled:
+            rs = {"mean_corr": sd, "discriminator": sd,
+                  "film_mean_f": sd, "film_f": None}
+            if t == E.RADIANCE and s.ecfg.denoise_image:
+                rs["film_f"] = PS("px", None, None)
+                film_f_spec = PS("px", None, None)
+            derived_spec[t] = rs
+        avg_spec = (PS("px", None)
+                    if rad.enable and E.RADIANCE in enabled else None)
+        w_spec = (PS("px", None)
+                  if s.ecfg.enable_smis and E.MIS_BSDF_WIN_RATE in enabled
+                  else None)
+
+        template = self._real_states()
+        state_spec = jax.tree.map(lambda _: PS(None, "px"), template)
+        return jax.jit(shard_map(
+            run_local, mesh=mesh,
+            in_specs=(state_spec, PS("px"), PS("px")),
+            out_specs=(derived_spec, film_f_spec, avg_spec, w_spec,
+                       w_spec),
+            check_rep=False,
+        ))
 
     # -- output -----------------------------------------------------------
 
@@ -904,7 +1065,10 @@ class Renderer:
 
 
 def load(scene_path: str, base_seed: int = 0,
-         force_dense: bool = False) -> Renderer:
+         force_dense: bool = False, mesh=None) -> Renderer:
+    """mesh: None (single device), a jax.sharding.Mesh with ("spp","px")
+    axes, or "auto" to build a 1 x n_devices pixel mesh when more than
+    one device is visible (the CLI --mesh flag lands here)."""
     desc = parse_scene(scene_path)
     name = desc.integrator_name
     if name in ("bdpt", "mlt", "sppm"):
@@ -916,5 +1080,10 @@ def load(scene_path: str, base_seed: int = 0,
 
         return make_alt_renderer(name, desc, base_seed,
                                  force_dense=force_dense)
+    if mesh == "auto":
+        from .parallel.shard import make_mesh
+
+        n = jax.device_count()
+        mesh = make_mesh(1, n) if n > 1 else None
     setup = prepare(desc, base_seed, force_dense=force_dense)
-    return Renderer(setup)
+    return Renderer(setup, mesh=mesh)

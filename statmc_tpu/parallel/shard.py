@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core import rng as crng
 from ..stats import moments
 from ..stats import estimator as E
-from ..driver import RenderSetup, make_sample_fn
+from ..driver import RenderSetup, make_sample_fn, zero_stats
 
 try:  # jax >= 0.4.35
     from jax.experimental.shard_map import shard_map
@@ -77,12 +77,17 @@ def make_sharded_chunk_fn(setup: RenderSetup, mesh: Mesh):
         P("px"),  # win_l
         P(),  # feedback_on
     )
-    out_specs = (state_spec, P("px"), P("px"), P())
+    stats_spec = {k: P() for k in zero_stats()}
+    out_specs = (state_spec, P("px"), P("px"), P(), stats_spec)
 
     def chunk(states, film_sum, film_w, ray_total, base_key, sample_start,
               pixel_ids, avg_ls, win_b, win_l, feedback_on, n_samples):
         my_spp = jax.lax.axis_index("spp")
-        n_local = n_samples // n_spp
+        # Per-device sample count: device k handles sample indices
+        # sample_start + s*n_spp + k, so a remainder (n_samples not a
+        # multiple of n_spp) gives the low-index devices one extra
+        # sample instead of silently dropping the tail.
+        n_local = (n_samples - my_spp + n_spp - 1) // n_spp
 
         # Fresh per-iteration local statistics (zeros), streamed serially
         # on each device, then Chan-combined across the sample axis.
@@ -90,18 +95,20 @@ def make_sharded_chunk_fn(setup: RenderSetup, mesh: Mesh):
         local_film = jnp.zeros_like(film_sum)
         local_w = jnp.zeros_like(film_w)
         local_rays = jnp.zeros(())
+        local_stats = zero_stats()
 
         def body(s, carry):
-            st, fs, fw, rt = carry
+            st, fs, fw, rt, sa = carry
             sample_index = sample_start + s * n_spp + my_spp
-            nst, nfs, nfw, nrt, _ = sample_step(
+            return sample_step(
                 st, fs, fw, rt, base_key, sample_index, pixel_ids,
-                avg_ls, win_b, win_l, feedback_on,
+                avg_ls, win_b, win_l, feedback_on, sa,
             )
-            return nst, nfs, nfw, nrt
 
-        local_states, local_film, local_w, local_rays = jax.lax.fori_loop(
-            0, n_local, body, (local_states, local_film, local_w, local_rays)
+        (local_states, local_film, local_w, local_rays,
+         local_stats) = jax.lax.fori_loop(
+            0, n_local, body,
+            (local_states, local_film, local_w, local_rays, local_stats),
         )
 
         merged = {
@@ -113,7 +120,16 @@ def make_sharded_chunk_fn(setup: RenderSetup, mesh: Mesh):
         film_w = film_w + jax.lax.psum(local_w, "spp")
         ray_total = ray_total + jax.lax.psum(
             jax.lax.psum(local_rays, "spp"), "px")
-        return states, film_sum, film_w, ray_total
+        # STAT counters (statpath.cpp:29-31 equivalents): sums ride a
+        # two-axis psum, the path-length max a pmax; the mesh render
+        # reports the same counters as the single-device driver.
+        stats_delta = {
+            k: (jax.lax.pmax(jax.lax.pmax(v, "spp"), "px")
+                if k == "path_len_max"
+                else jax.lax.psum(jax.lax.psum(v, "spp"), "px"))
+            for k, v in local_stats.items()
+        }
+        return states, film_sum, film_w, ray_total, stats_delta
 
     sharded = shard_map(
         chunk,
@@ -126,6 +142,8 @@ def make_sharded_chunk_fn(setup: RenderSetup, mesh: Mesh):
     def wrapper(states, film_sum, film_w, ray_total, base_key,
                 sample_start, pixel_ids, avg_ls, win_b, win_l,
                 feedback_on, n_samples):
+        """Returns (states, film_sum, film_w, ray_total, stats_delta);
+        stats_delta is this chunk's STAT counter increment."""
         return sharded(
             states, film_sum, film_w, ray_total, base_key, sample_start,
             pixel_ids, avg_ls, win_b, win_l, feedback_on,

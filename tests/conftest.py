@@ -48,6 +48,7 @@ _SLOW_TESTS = {
     "test_scene_with_marble_kd_renders",
     "test_checkpoint_resume_bitexact",
     "test_mesh_render_matches_single_device",
+    "test_product_mesh_full_pipeline_matches_single_device",
     "test_driver_picks_fused_and_renders",
     "test_nee_vs_bsdf_only_materials",
     "test_scene_with_tessellated_shapes_renders",
