@@ -65,6 +65,8 @@ _SLOW_TESTS = {
     "test_cone_lod_smooths_distant_checker",
     "test_halton_mode_low_discrepancy",
     "test_regen_matches_with_acrr_smis",
+    "test_acrr_converges_to_plain_rr_mean",
+    "test_smis_converges_to_full_mis_mean",
     "test_regen_matches_per_sample_ld",
     "test_regen_matches_pixelbounds_crop",
 }
