@@ -29,6 +29,15 @@ SLOT_BSDF = 4  # 2D BSDF sample for path continuation
 SLOT_RR = 5  # 1D Russian roulette
 SLOT_BSDF_COMPONENT = 6  # 1D BxDF component selection (NEE half)
 SLOT_BSDF_COMPONENT_PC = 7  # 1D BxDF component selection (continuation)
+# Media draw sites (volpath, render/volume.py).  These always draw
+# threefry uniforms (uniform_1d/2d) -- media sampling consumes a
+# variable number of draws (delta/ratio tracking), so LD/lockstep
+# stream mappings do not extend to them; N_SLOTS below intentionally
+# excludes them to keep existing Halton dimension assignments stable.
+SLOT_MEDIUM = 8  # 2D: channel select + distance (homogeneous.cpp:55-58)
+SLOT_PHASE = 9  # 2D Henyey-Greenstein direction sample
+SLOT_PHASE_NEE = 10  # 2D phase half of EstimateDirect at a medium vertex
+SLOT_TR = 11  # base for tracking-loop draws (fold the iteration index)
 
 
 def base_key(base_seed: int) -> Array:

@@ -70,9 +70,11 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
     # (directlighting.cpp / whitted.cpp recurse solely via
     # SpecularReflect/Transmit), honoring the scene's maxdepth (default
     # 5).  volpath dispatches the media-aware bounce scan
-    # (render/volume.py); bdpt/sppm/mlt have their own drivers
-    # (render/bdpt.py, render/sppm.py, render/pssmlt.py) -- see load().
+    # (render/volume.py) when the scene declares media; bdpt/sppm/mlt
+    # have their own drivers -- see load().
     direct_only = desc.integrator_name in ("directlighting", "whitted")
+    volumetric = (desc.integrator_name == "volpath"
+                  and len(desc.named_media) > 0)
 
     pixel_samples = int(desc.sampler_params.find_one("pixelsamples", 16))
     ecfg = E.derive_config(
@@ -127,6 +129,8 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
         cone_spread=cone_spread,
         direct_only=direct_only,
         null_extra=8 if has_null else 0,
+        volumetric=volumetric,
+        has_grid_media=volumetric and scene_np.has_grid_media,
     )
 
     # pixelbounds crop (debug feature; statpath.cpp:967-980): pixels
@@ -222,6 +226,11 @@ def make_sample_fn(setup: RenderSetup):
     icfg, ecfg = setup.icfg, setup.ecfg
     cam, W = setup.cam, setup.width
 
+    if icfg.volumetric:
+        from .render.volume import trace_volpath as trace_fn
+    else:
+        trace_fn = trace
+
     def sample_step(states, film_sum, film_w, ray_total, base_key,
                     sample_index, pixel_ids, avg_ls, win_b, win_l,
                     feedback_on, stats_acc=None):
@@ -247,7 +256,7 @@ def make_sample_fn(setup: RenderSetup):
         # film accumulation degenerates to per-pixel averaging).
         p_film = jnp.stack([px, py], axis=-1) + u_cam
         o, d = CAM.generate_rays(cam, p_film)
-        out = trace(
+        out = trace_fn(
             scene, bvh, dist, icfg, o, d, keys,
             avg_ls, win_b, win_l, feedback_on,
             albedo_luts=setup.albedo_luts,
@@ -541,7 +550,10 @@ class Renderer:
             # the per-sample scan driver (tests compare the two for
             # equality).  Lockstep parity mode pins the per-sample
             # driver: its draw table is plumbed through make_sample_fn.
-            if setup.icfg.sampler_mode == crng.MODE_LOCKSTEP:
+            # Volumetric scenes pin it too (the media-aware scan lives
+            # in make_sample_fn; regeneration of it is future work).
+            if (setup.icfg.sampler_mode == crng.MODE_LOCKSTEP
+                    or setup.icfg.volumetric):
                 regen = False
             self.chunk_fn = (make_regen_chunk_fn(setup) if regen
                              else make_chunk_fn(setup))

@@ -66,6 +66,10 @@ class IntegratorConfig(NamedTuple):
     # pass-throughs, which do NOT consume a bounce (statpath.cpp:823-827
     # does bounces-- on a null-BSDF hit); >0 only when the scene has
     # null materials, keeping the common case at max_depth+1 steps
+    volumetric: bool = False  # volpath + scene has media: dispatch the
+    # media-aware bounce scan (render/volume.py, volpath.cpp:54-188)
+    has_grid_media: bool = False  # compile the delta/ratio-tracking
+    # loops only when a grid medium exists (homogeneous is closed-form)
 
 
 class SampleOutput(NamedTuple):

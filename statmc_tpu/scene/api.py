@@ -47,6 +47,10 @@ class ShapeDesc:
     material: MaterialDesc | None
     area_light: Optional[ParamSet]  # "diffuse" params if emissive
     cwd: str = "."
+    # MediumInterface in effect at the Shape (api.cpp:1119-1124): named
+    # media on each side of the surface ("" / None = vacuum).
+    medium_in: str | None = None
+    medium_out: str | None = None
 
 
 @dataclass
@@ -55,6 +59,15 @@ class LightDesc:
     params: ParamSet
     light_to_world: np.ndarray
     cwd: str = "."
+
+
+@dataclass
+class MediumDesc:
+    """One MakeNamedMedium record (api.cpp:1101-1117): the params plus
+    the CTM at declaration (medium-to-world)."""
+    name: str
+    params: ParamSet
+    medium_to_world: np.ndarray
 
 
 @dataclass
@@ -77,6 +90,11 @@ class SceneDescription:
     lights: list[LightDesc] = field(default_factory=list)
     textures: dict[str, TextureDesc] = field(default_factory=dict)
     named_materials: dict[str, MaterialDesc] = field(default_factory=dict)
+    named_media: dict[str, MediumDesc] = field(default_factory=dict)
+    # Camera medium: the outside medium of the MediumInterface in effect
+    # at the Camera directive (api.cpp:801-812 passes
+    # mediumInterface.outside into every camera constructor).
+    camera_medium: str | None = None
     cwd: str = "."
 
 
@@ -87,6 +105,8 @@ class _GraphicsState:
     )
     area_light: Optional[ParamSet] = None
     reverse_orientation: bool = False
+    medium_in: str | None = None
+    medium_out: str | None = None
 
 
 def parse_scene(path: str) -> SceneDescription:
@@ -197,6 +217,7 @@ def parse_scene(path: str) -> SceneDescription:
             sd = ShapeDesc(
                 st.name, st.params, ctm.copy(), gs.reverse_orientation,
                 gs.material, gs.area_light, st.cwd,
+                medium_in=gs.medium_in, medium_out=gs.medium_out,
             )
             if current_object is not None:
                 objects[current_object].append(sd)
@@ -219,8 +240,24 @@ def parse_scene(path: str) -> SceneDescription:
                     @ proto.object_to_world.astype(np.float64)
                 ).astype(np.float32)
                 desc.shapes.append(inst)
-        elif d in ("MediumInterface", "MakeNamedMedium"):
-            pass  # participating media: parsed, ignored (SURVEY.md §7 non-goal)
+        elif d == "MakeNamedMedium":
+            # api.cpp:1101-1117: record params + the CTM (medium-to-world).
+            desc.named_media[st.name] = MediumDesc(
+                st.name, st.params, ctm.copy()
+            )
+        elif d == "MediumInterface":
+            # api.cpp:1119-1124: inside/outside names ("" = vacuum).
+            names = [st.name or ""] + list(st.extra_names)
+            inside = names[0]
+            outside = names[1] if len(names) > 1 else ""
+            gs.medium_in = inside or None
+            gs.medium_out = outside or None
         else:
             pass
+    # Camera rays start in the OUTSIDE medium of the graphics state as
+    # it stands at WorldEnd: MakeCamera runs inside pbrtWorldEnd and
+    # reads graphicsState.CreateMediumInterface().outside
+    # (api.cpp:797-812,1690); pbrtWorldBegin does NOT reset the
+    # graphics state, so a pre-world MediumInterface carries through.
+    desc.camera_medium = gs.medium_out
     return desc

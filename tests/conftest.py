@@ -67,6 +67,10 @@ _SLOW_TESTS = {
     "test_regen_matches_with_acrr_smis",
     "test_acrr_converges_to_plain_rr_mean",
     "test_smis_converges_to_full_mis_mean",
+    "test_absorption_only_camera_fog_beer_lambert",
+    "test_scattering_fog_nee_matches_phase_only",
+    "test_grid_constant_density_matches_homogeneous",
+    "test_null_boundary_fog_region",
     "test_regen_matches_per_sample_ld",
     "test_regen_matches_pixelbounds_crop",
 }
