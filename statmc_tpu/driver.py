@@ -160,17 +160,13 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
                 scene_np.tri_p0, scene_np.tri_e1, scene_np.tri_e2
             )
         else:
-            from .accel.bvh import build_bvh
-            from .accel.onehot import OneHotBVH
+            # Large scenes: two-level worklist traversal (HBM-streamed
+            # Morton tiles + per-block front-to-back walk); replaces the
+            # serial one-hot/take walk (accel/onehot.py kept for tests).
+            from .accel.twolevel import TwoLevelTris
 
-            leaf = 8  # measured sweet spot on v5e (leaf-size sweep)
-            flat = build_bvh(
-                scene_np.tri_p0, scene_np.tri_e1, scene_np.tri_e2,
-                leaf_size=leaf,
-            )
-            bvh = OneHotBVH.from_flat(
-                flat, scene_np.tri_p0, scene_np.tri_e1, scene_np.tri_e2,
-                leaf_size=leaf,
+            bvh = TwoLevelTris.from_tris(
+                scene_np.tri_p0, scene_np.tri_e1, scene_np.tri_e2
             )
 
     dist = make_distribution(scene_np, ecfg.light_strategy)

@@ -295,8 +295,13 @@ def intersect_dense(scene: SceneTables, o: Array, d: Array,
 
 def _bvh_intersect(bvh, scene, o, d, t_max, any_hit=False):
     """Dispatch over accelerator kinds: fused MXU dense tables
-    (accel/fused.FusedTris), packed one-hot/take tables
-    (accel/onehot.OneHotBVH) or the legacy FlatBVH gather walk."""
+    (accel/fused.FusedTris), the two-level worklist walk
+    (accel/twolevel.TwoLevelTris, large scenes), packed one-hot/take
+    tables (accel/onehot.OneHotBVH) or the legacy FlatBVH gather walk."""
+    if type(bvh).__name__ == "TwoLevelTris":
+        from ..accel.twolevel import intersect_twolevel
+
+        return intersect_twolevel(bvh, o, d, t_max, any_hit=any_hit)
     if hasattr(bvh, "edge_table"):
         from ..accel.fused import intersect_fused
 

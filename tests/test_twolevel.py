@@ -1,0 +1,82 @@
+"""Two-level worklist traversal correctness (accel/twolevel.py).
+
+The worklist walk must be exactly the dense fused intersection: the
+block-level cull is conservative and the epilogue math is shared, so
+(t, id) agree bit-for-bit wherever the dense path finds a hit.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from statmc_tpu.accel.fused import FusedTris, ray_features, _intersect_ref
+from statmc_tpu.accel.twolevel import (
+    TwoLevelTris, _block_worklists, intersect_twolevel,
+)
+
+
+def _random_tris(T, seed=0):
+    rng = np.random.default_rng(seed)
+    p0 = (rng.random((T, 3)) * 20 - 10).astype(np.float32)
+    e1 = (rng.random((T, 3)) - 0.5).astype(np.float32)
+    e2 = (rng.random((T, 3)) - 0.5).astype(np.float32)
+    return p0, e1, e2
+
+
+def _random_rays(R, seed=1):
+    rng = np.random.default_rng(seed)
+    o = (rng.random((R, 3)) * 24 - 12).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_twolevel_matches_dense_fused():
+    p0, e1, e2 = _random_tris(2000)
+    ft = FusedTris.from_tris(p0, e1, e2)
+    tl = TwoLevelTris.from_tris(p0, e1, e2)
+    o, d = _random_rays(1024)
+    t_max = jnp.full((1024,), 1e30)
+
+    raye, rayp, _ = ray_features(o, d)
+    t_ref, id_ref = _intersect_ref(ft, raye, rayp, t_max)
+    id_ref = np.where(np.asarray(id_ref) >= 0,
+                      np.asarray(ft.perm)[np.maximum(np.asarray(id_ref), 0)],
+                      -1)
+
+    t2, id2, hit2 = intersect_twolevel(tl, o, d, t_max)
+    np.testing.assert_array_equal(np.asarray(id2), id_ref)
+    m = id_ref >= 0
+    np.testing.assert_allclose(np.asarray(t2)[m], np.asarray(t_ref)[m],
+                               rtol=1e-6)
+
+
+def test_twolevel_any_hit_and_dead_lanes():
+    p0, e1, e2 = _random_tris(1500, seed=3)
+    tl = TwoLevelTris.from_tris(p0, e1, e2)
+    o, d = _random_rays(512, seed=4)
+    # Half the lanes dead (t_max = 0) -- they must report no hit.
+    t_max = jnp.where(jnp.arange(512) % 2 == 0, 1e30, 0.0)
+    t, idx, hit = intersect_twolevel(tl, o, d, t_max, any_hit=True)
+    hit = np.asarray(hit)
+    assert not hit[1::2].any()
+    assert hit[0::2].any()  # dense random soup: some ray hits something
+
+
+def test_worklists_are_conservative():
+    """Every tile that contains a ray's true hit must be in that ray's
+    block worklist (within count)."""
+    p0, e1, e2 = _random_tris(3000, seed=5)
+    ft = FusedTris.from_tris(p0, e1, e2)
+    tl = TwoLevelTris.from_tris(p0, e1, e2)
+    o, d = _random_rays(512, seed=6)
+    t_max = jnp.full((512,), 1e30)
+    raye, rayp, _ = ray_features(o, d)
+    t_ref, id_packed = _intersect_ref(ft, raye, rayp, t_max)
+    order, tnear, count = _block_worklists(tl.tile_bounds, o, d, t_max)
+    order, count = np.asarray(order), np.asarray(count)
+    idp = np.asarray(id_packed[0] if id_packed.ndim > 1 else id_packed)
+    for r in range(512):
+        if idp[r] < 0:
+            continue
+        tile = idp[r] // 256
+        g = r // 512
+        assert tile in order[g, : count[g]], (r, tile)
