@@ -35,6 +35,9 @@ def main(argv=None):
                          "rows), or 'auto' for 1 x n_devices")
     ap.add_argument("--iterations", type=int, default=None,
                     help="override iteration count")
+    ap.add_argument("--strictassets", action="store_true",
+                    help="error (instead of warn) on missing PLY/texture "
+                         "asset files")
     args = ap.parse_args(argv)
 
     from .driver import load
@@ -45,7 +48,8 @@ def main(argv=None):
 
         n_spp, n_px = (int(v) for v in mesh.lower().split("x"))
         mesh = make_mesh(n_spp, n_px)
-    r = load(args.scene, base_seed=args.baseseed, mesh=mesh)
+    r = load(args.scene, base_seed=args.baseseed, mesh=mesh,
+             strict_assets=True if args.strictassets else None)
     tev = None
     if args.displayserver:
         from .io.display import TevClient

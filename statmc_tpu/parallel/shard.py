@@ -72,6 +72,7 @@ def make_sharded_chunk_fn(setup: RenderSetup, mesh: Mesh):
         P(),  # base_key
         P(),  # sample_start
         P("px"),  # pixel_ids
+        P("px"),  # lane_valid
         P("px"),  # avg_ls
         P("px"),  # win_b
         P("px"),  # win_l
@@ -81,7 +82,8 @@ def make_sharded_chunk_fn(setup: RenderSetup, mesh: Mesh):
     out_specs = (state_spec, P("px"), P("px"), P(), stats_spec)
 
     def chunk(states, film_sum, film_w, ray_total, base_key, sample_start,
-              pixel_ids, avg_ls, win_b, win_l, feedback_on, n_samples):
+              pixel_ids, lane_valid, avg_ls, win_b, win_l, feedback_on,
+              n_samples):
         my_spp = jax.lax.axis_index("spp")
         # Per-device sample count: device k handles sample indices
         # sample_start + s*n_spp + k, so a remainder (n_samples not a
@@ -103,6 +105,7 @@ def make_sharded_chunk_fn(setup: RenderSetup, mesh: Mesh):
             return sample_step(
                 st, fs, fw, rt, base_key, sample_index, pixel_ids,
                 avg_ls, win_b, win_l, feedback_on, sa,
+                valid=lane_valid,
             )
 
         (local_states, local_film, local_w, local_rays,
@@ -140,13 +143,15 @@ def make_sharded_chunk_fn(setup: RenderSetup, mesh: Mesh):
     )
 
     def wrapper(states, film_sum, film_w, ray_total, base_key,
-                sample_start, pixel_ids, avg_ls, win_b, win_l,
+                sample_start, pixel_ids, lane_valid, avg_ls, win_b, win_l,
                 feedback_on, n_samples):
         """Returns (states, film_sum, film_w, ray_total, stats_delta);
-        stats_delta is this chunk's STAT counter increment."""
+        stats_delta is this chunk's STAT counter increment.  lane_valid
+        marks real (non-pad) pixel lanes; pad lanes render but are kept
+        out of the psum'd STAT counters."""
         return sharded(
             states, film_sum, film_w, ray_total, base_key, sample_start,
-            pixel_ids, avg_ls, win_b, win_l, feedback_on,
+            pixel_ids, lane_valid, avg_ls, win_b, win_l, feedback_on,
             jnp.asarray(n_samples),
         )
 

@@ -47,11 +47,30 @@ ALPHA = 2.0 / 3.0  # pbrt "radiussearch" alpha default
 
 
 def _light_power_pmf(scene):
+    """Photon-allocation pmf matching each light kind's Power()
+    (src/lights/*.cpp): point 4*pi*I, spot 2*pi*(1 - (cosFalloff +
+    cosTotal)/2)*I, area pi*area*L, distant/infinite pi*worldRadius^2*L.
+    The estimator stays unbiased for any pmf (beta divides by it), but
+    matching Power() matches pbrt's variance allocation."""
     k = scene.light_kind
-    L = scene.light_L
-    lum = spec.luminance(L)
-    area = jnp.where(k <= sb.LIGHT_AREA_SPH, scene.light_area, 1.0)
-    power = lum * jnp.maximum(area, 1e-9) * jnp.pi
+    lum = spec.luminance(scene.light_L)
+    wr2 = scene.world_radius * scene.world_radius
+    cos_total = scene.light_params[:, 0]
+    cos_falloff = scene.light_params[:, 1]
+    power = jnp.where(
+        k <= sb.LIGHT_AREA_SPH,
+        lum * jnp.maximum(scene.light_area, 1e-9) * jnp.pi,
+        jnp.where(
+            k == sb.LIGHT_SPOT,
+            lum * 2.0 * jnp.pi
+            * (1.0 - 0.5 * (cos_falloff + cos_total)),
+            jnp.where(
+                (k == sb.LIGHT_DISTANT) | (k == sb.LIGHT_INFINITE),
+                lum * jnp.pi * wr2,
+                lum * 4.0 * jnp.pi,  # point / gonio / proj
+            ),
+        ),
+    )
     total = jnp.maximum(jnp.sum(power), 1e-20)
     return power / total
 
@@ -264,8 +283,14 @@ class SPPMRenderer(AltRenderer):
                 Ld = Ld + jnp.where((valid & ~occ)[:, None],
                                     carry["beta"] * contr, 0.0)
 
-                # Store the visible point at the first non-specular hit.
-                store = diffuse_hit & ~carry["have"]
+                # Store the visible point at the first non-specular hit,
+                # or — matching sppm.cpp's `isDiffuse || (isGlossy &&
+                # depth == maxDepth - 1)` — at the final depth even for
+                # specular BSDFs, so all-specular paths still gather
+                # (their f may be zero, but glossy-as-specular ones
+                # are not lost).
+                last = b == s.icfg.max_depth
+                store = (diffuse_hit | (found & last)) & ~carry["have"]
                 vp_p = jnp.where(store[:, None], hit.p, carry["vp_p"])
                 vp_wo = jnp.where(store[:, None], -d, carry["vp_wo"])
                 vp_beta = jnp.where(store[:, None], carry["beta"],

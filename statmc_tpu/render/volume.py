@@ -47,6 +47,10 @@ Array = jax.Array
 BIG = 1e8  # stands in for an infinite ray extent (escaped rays)
 GRID_SAMPLE_STEPS = 256  # delta-tracking step cap (E[steps] ~ maxD*st*L)
 GRID_TR_STEPS = 128  # ratio-tracking step cap per segment
+# Key stride between transmittance_walk segments: each segment's
+# ratio-tracking loop consumes GRID_TR_STEPS iterations of SLOT_TR, so
+# adjacent segments must sit at least that far apart in key space.
+_SEG_KEY_STRIDE = GRID_TR_STEPS
 
 
 # ---------------------------------------------------------------------------
@@ -315,9 +319,13 @@ def transmittance_walk(scene: sb.SceneTables, bvh, cfg: IntegratorConfig,
     (or light) encountered within t_max; tr excludes that surface's
     blocking (the caller decides: shadow rays zero it, MIS rays read its
     Le).  K crossing segments bound the loop; K=1 when the scene has no
-    null materials (cfg.null_extra == 0)."""
+    null materials (cfg.null_extra == 0), else 1 + null_extra so the
+    walk crosses at least as many null interfaces as the bounce scan
+    budgets pass-throughs for (the reference's Scene::IntersectTr loop
+    is unbounded; agreeing with null_extra means no shadow ray stops
+    short of a boundary the camera path could legally cross)."""
     P = o.shape[0]
-    K = 4 if cfg.null_extra else 1
+    K = 1 + cfg.null_extra if cfg.null_extra else 1
     tr = jnp.ones((P, 3))
     cur_o = o
     med = med0
@@ -331,8 +339,16 @@ def transmittance_walk(scene: sb.SceneTables, bvh, cfg: IntegratorConfig,
         seg = jnp.minimum(jnp.where(hit.found, hit.t, BIG), remaining)
         tr = tr * jnp.where(
             walking[:, None],
+            # Key spacing: _segment_tr draws it_base + i with
+            # i < GRID_TR_STEPS, and distance sampling uses raw
+            # iterations 0..GRID_SAMPLE_STEPS-1 on the same SLOT_TR;
+            # segments are spaced by a full loop cap and slot_tags by
+            # K_MAX segments so no (step, slot, it) key ever collides
+            # (a collision correlates consecutive segments' uniforms
+            # and biases the product of their Tr estimates).
             _segment_tr(scene, cfg, med, cur_o, d, seg, keys, step,
-                        it_base=1000 * slot_tag + 10 * k),
+                        it_base=(GRID_SAMPLE_STEPS
+                                 + _SEG_KEY_STRIDE * (16 * slot_tag + k))),
             1.0,
         )
         is_hit = hit.found & walking

@@ -18,9 +18,11 @@ operation a TPU hates, and the noise statistics (band-limited gradient
 noise, same octave weights) are what the textures rely on, not the
 exact lattice values.
 
-MIPmapping/EWA (mipmap.h) requires ray differentials through the fused
-bounce kernel and is deferred (trilinear level-0 only, like pbrt's
-"trilinear" fast path with width 0).
+MIPmapping (mipmap.h): every image texture carries a box-filtered
+power-of-two pyramid in the atlas (add_image below); lookups blend two
+levels trilinearly with the level chosen from the ray-cone footprint
+(the TPU stand-in for pbrt's ray differentials).  EWA's anisotropic
+ellipse sampling (mipmap.h:EWA) is approximated by that isotropic cone.
 """
 from __future__ import annotations
 
