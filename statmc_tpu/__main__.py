@@ -38,6 +38,10 @@ def main(argv=None):
     ap.add_argument("--strictassets", action="store_true",
                     help="error (instead of warn) on missing PLY/texture "
                          "asset files")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a JAX profiler (XPlane) trace of the "
+                         "render loop into DIR — the sampling-profiler "
+                         "equivalent (src/core/stats.cpp:263)")
     args = ap.parse_args(argv)
 
     from .driver import load
@@ -77,6 +81,10 @@ def main(argv=None):
         r.reset()
         print("==== Warm-Up End ====")
 
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
     n_it = args.iterations or r.s.ecfg.iterations
     for i in range(1, n_it + 1):
         log = r.run_iteration(i)
@@ -97,6 +105,11 @@ def main(argv=None):
                 f"{os.path.basename(args.scene)}-{log['spp']}", _selected(r)
             )
         print(f"Output time [ns]: {int((time.perf_counter() - t0) * 1e9)}")
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile}")
     if tev is not None:
         tev.close()
     r.print_stats()

@@ -142,15 +142,22 @@ class FusedTris(NamedTuple):
             eps = 1e-4 * max(1.0, float(np.abs(np.stack([lo, hi])).max()))
             bounds[j, 0:3] = lo - eps
             bounds[j, 3:6] = hi + eps
-        perm = np.full((Tp,), -1, np.int32)
-        perm[:T] = order.astype(np.int32)
+        # Identity permutation (input already Morton-ordered, see
+        # driver._morton_order_scene): store None so intersect paths
+        # skip the per-call [T] remap gather entirely.
+        if np.array_equal(order, np.arange(T)):
+            perm = None
+        else:
+            perm_np = np.full((Tp,), -1, np.int32)
+            perm_np[:T] = order.astype(np.int32)
+            perm = jnp.asarray(perm_np)
         return FusedTris(
             edge_table=jnp.asarray(np.ascontiguousarray(
                 er.reshape(3, ntt, TRI_TILE, _K).transpose(1, 0, 2, 3))),
             plane_table=jnp.asarray(np.ascontiguousarray(
                 pr.reshape(2, ntt, TRI_TILE, _K).transpose(1, 0, 2, 3))),
             tile_bounds=jnp.asarray(bounds),
-            perm=jnp.asarray(perm),
+            perm=perm,
             n_tris=T,
         )
 
@@ -373,6 +380,12 @@ def intersect_fused(ft: FusedTris, o, d, t_max, any_hit: bool = False):
         )
         t = t.reshape(-1)[:R]
         idx = idx.reshape(-1)[:R]
-    # Map Morton-packed ids back to original triangle ids.
-    idx = jnp.where(idx >= 0, jnp.take(ft.perm, jnp.maximum(idx, 0)), -1)
+    # Map Morton-packed ids back to original triangle ids (identity
+    # when the scene tables were pre-Morton-ordered: perm is None, and
+    # padded-row ids cannot win -- their den=0 makes t=inf).
+    if ft.perm is not None:
+        idx = jnp.where(idx >= 0, jnp.take(ft.perm, jnp.maximum(idx, 0)),
+                        -1)
+    else:
+        idx = jnp.where(idx >= ft.n_tris, -1, idx)
     return t, idx, idx >= 0

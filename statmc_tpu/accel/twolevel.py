@@ -9,7 +9,8 @@ Shape of the algorithm (no pointer chasing anywhere):
 
 1. BUILD: triangles are Morton-ordered and packed into TRI_TILE-sized
    tiles with conservative AABBs -- the same packing as FusedTris, but
-   the edge/plane tables live in HBM, not VMEM.
+   the edge/plane tables live in HBM, not VMEM, concatenated into ONE
+   [ntt, 5, K, TRI_TILE] tensor so each tile is a single DMA.
 2. WORKLIST (XLA pre-pass, per dispatch): every ray slab-tests every
    tile AABB ([Rt, ntt] VPU work, chunked per ray block); per 512-ray
    block the tiles any ray can hit are sorted front-to-back by the
@@ -27,6 +28,13 @@ Shape of the algorithm (no pointer chasing anywhere):
 Results are bit-identical to the dense fused intersector: the worklist
 is conservative (a tile is only skipped when NO ray in the block can
 hit its AABB closer than t_max), and the epilogue math is shared.
+
+Profile notes (v5e, terrain 131k tris): the Pallas walk is ~15% of a
+full render step; the XLA glue around it (worklist slab tests, per-
+block sorts, hit-assembly gathers) is the rest, which is why the
+worklist runs batched over 8-block chunks with per-axis slab
+accumulation and one [G, ntt] argsort instead of 64 tiny per-block
+sorts.
 """
 from __future__ import annotations
 
@@ -56,19 +64,23 @@ def _dot_t(a, b):
 # Worklist SMEM budget: tile ids + tnear per block.  4096 tiles covers
 # 1M triangles; larger scenes would chunk the tile axis.
 MAX_TILES = 4096
+# Ray blocks per worklist chunk: bounds the [C*Rt, ntt] slab-test
+# temporaries (~8 MB at 514 tiles) while amortizing per-op overhead.
+_WL_CHUNK = 8
 
 
 class TwoLevelTris(NamedTuple):
     """FusedTris packing with HBM-resident tables + worklist dispatch.
 
-    Tables are stored [ntt, c, K, TRI_TILE] -- the triangle axis on the
+    The combined table is stored [ntt, 5, K, TRI_TILE] -- rows 0-2 the
+    edge tables, rows 3-4 the plane tables, triangle axis on the
     128-lane minor dim -- because Mosaic DMA slices of HBM tensors must
     be lane-aligned in their minor dimension (a [.., TRI_TILE, K=8]
-    layout cannot be sliced).  The kernel dots contract over the K
-    sublane axis instead: w_c [Tt, Rt] = tab_c [K, Tt]^T @ ray [K, Rt].
+    layout cannot be sliced), and one tile = one async copy.  The
+    kernel dots contract over the K sublane axis:
+    w_c [Tt, Rt] = tab_c [K, Tt]^T @ ray [K, Rt].
     """
-    edge_table: Any  # [ntt, 3, K, TRI_TILE]
-    plane_table: Any  # [ntt, 2, K, TRI_TILE]
+    table: Any  # [ntt, 5, K, TRI_TILE] (edge 0:3, plane 3:5)
     tile_bounds: Any  # [ntt, 8] lo3 hi3 pad2
     perm: Any
     n_tris: int
@@ -81,10 +93,10 @@ class TwoLevelTris(NamedTuple):
         assert ft.edge_table.shape[0] <= MAX_TILES, (
             f"{ft.edge_table.shape[0]} tiles > MAX_TILES; add tile-axis "
             "chunking for scenes beyond ~1M triangles")
-        et = np.ascontiguousarray(
-            np.asarray(ft.edge_table).transpose(0, 1, 3, 2))
-        pt = np.ascontiguousarray(
-            np.asarray(ft.plane_table).transpose(0, 1, 3, 2))
+        et = np.asarray(ft.edge_table).transpose(0, 1, 3, 2)
+        pt = np.asarray(ft.plane_table).transpose(0, 1, 3, 2)
+        tab = np.ascontiguousarray(
+            np.concatenate([et, pt], axis=1))  # [ntt, 5, K, Tt]
         tb = np.asarray(ft.tile_bounds)
         real = tb[:, 0] < 1e29
         lo = (tb[real, 0:3].min(axis=0) if real.any()
@@ -92,8 +104,7 @@ class TwoLevelTris(NamedTuple):
         hi = (tb[real, 3:6].max(axis=0) if real.any()
               else np.ones(3, np.float32))
         return TwoLevelTris(
-            edge_table=jnp.asarray(et),
-            plane_table=jnp.asarray(pt),
+            table=jnp.asarray(tab),
             tile_bounds=ft.tile_bounds,
             perm=ft.perm,
             n_tris=ft.n_tris,
@@ -111,6 +122,13 @@ def _block_worklists(tile_bounds: Any, o, d, t_max):
     block enters its AABB in front of the origin and closer than its
     t_max -- exactly the fused kernel's in-kernel cull (fused.py
     _tile_cull), hoisted out so the kernel can skip the tile's DMA too.
+
+    Structure (profile-driven): per-axis slab accumulation keeps the
+    live temporaries at 2x[C*Rt, ntt] instead of 6x[Rt, ntt, 3], the
+    map runs over _WL_CHUNK-block chunks, and the front-to-back sort is
+    ONE batched [G, ntt] sort_key_val instead of G serial 514-element
+    sorts (64 tiny sorts cost ~0.85 ms/step on v5e; one batched sort is
+    an order of magnitude cheaper).
     """
     R = o.shape[0]
     G = R // RAY_TILE
@@ -120,29 +138,58 @@ def _block_worklists(tile_bounds: Any, o, d, t_max):
     lo = tile_bounds[:, 0:3]
     hi = tile_bounds[:, 3:6]
 
-    def per_block(args):
-        ob, invb, tmb = args  # [Rt,3], [Rt,3], [Rt]
-        t0 = (lo[None] - ob[:, None]) * invb[:, None]  # [Rt, ntt, 3]
-        t1 = (hi[None] - ob[:, None]) * invb[:, None]
-        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        vote = (tn <= tf * 1.0001) & (tf > 0) & (tn < tmb[:, None])
-        tnear_blk = jnp.min(jnp.where(vote, tn, jnp.float32(1e30)), axis=0)
-        active = jnp.any(vote, axis=0)
+    def per_chunk(args):
+        ob, invb, tmb = args  # [C, Rt, 3], [C, Rt, 3], [C, Rt]
+        C = ob.shape[0]
+        rb = C * RAY_TILE
+        ob = ob.reshape(rb, 3)
+        invb = invb.reshape(rb, 3)
+        tn = jnp.full((rb, ntt), -jnp.float32(1e30))
+        # Capping tf at t_max folds the (tn < t_max) test into tn <= tf.
+        tf = jnp.broadcast_to(tmb.reshape(rb, 1), (rb, ntt))
+        for a in range(3):
+            t0 = (lo[None, :, a] - ob[:, a:a + 1]) * invb[:, a:a + 1]
+            t1 = (hi[None, :, a] - ob[:, a:a + 1]) * invb[:, a:a + 1]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        vote = (tn <= tf * 1.0001) & (tf > 0)
+        tn = tn.reshape(C, RAY_TILE, ntt)
+        vote = vote.reshape(C, RAY_TILE, ntt)
+        tnear_blk = jnp.min(jnp.where(vote, tn, jnp.float32(1e30)), axis=1)
+        active = jnp.any(vote, axis=1)
         key = jnp.where(active, tnear_blk, jnp.float32(1e30))
-        order = jnp.argsort(key).astype(jnp.int32)
-        return order, jnp.sort(key), jnp.sum(active).astype(jnp.int32)
+        return key, jnp.sum(active, axis=1).astype(jnp.int32)
 
-    return jax.lax.map(
-        per_block,
-        (o.reshape(G, RAY_TILE, 3), inv.reshape(G, RAY_TILE, 3),
-         t_max.reshape(G, RAY_TILE)),
+    C = min(_WL_CHUNK, G)
+    Gc = (G + C - 1) // C
+    if Gc * C != G:  # pad block axis (t_max=0 blocks vote for nothing)
+        pad = Gc * C - G
+        o = jnp.concatenate([o.reshape(G, RAY_TILE, 3),
+                             jnp.zeros((pad, RAY_TILE, 3))], 0)
+        inv = jnp.concatenate([inv.reshape(G, RAY_TILE, 3),
+                               jnp.ones((pad, RAY_TILE, 3))], 0)
+        tm = jnp.concatenate([t_max.reshape(G, RAY_TILE),
+                              jnp.zeros((pad, RAY_TILE))], 0)
+    else:
+        o = o.reshape(G, RAY_TILE, 3)
+        inv = inv.reshape(G, RAY_TILE, 3)
+        tm = t_max.reshape(G, RAY_TILE)
+
+    key, count = jax.lax.map(
+        per_chunk,
+        (o.reshape(Gc, C, RAY_TILE, 3), inv.reshape(Gc, C, RAY_TILE, 3),
+         tm.reshape(Gc, C, RAY_TILE)),
     )
+    key = key.reshape(Gc * C, ntt)[:G]
+    count = count.reshape(Gc * C)[:G]
+    iota = jnp.broadcast_to(jnp.arange(ntt, dtype=jnp.int32)[None], key.shape)
+    tnear, order = jax.lax.sort_key_val(key, iota, dimension=1)
+    return order, tnear, count
 
 
 def _kernel(count_ref, order_ref, tnear_ref, raye_ref, rayp_ref, tmax_ref,
-            edge_hbm, plane_hbm, t_out, id_out,
-            ebuf, pbuf, best_t_s, best_id_s, sem_e, sem_p,
+            tab_hbm, t_out, id_out,
+            buf, best_t_s, best_id_s, sem,
             *, any_hit: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -155,14 +202,10 @@ def _kernel(count_ref, order_ref, tnear_ref, raye_ref, rayp_ref, tmax_ref,
     best_t_s[:] = tmax_ref[0]
     best_id_s[:] = jnp.full((1, RAY_TILE), -1, jnp.int32)
 
-    def copies(k, slot):
+    def copy(k, slot):
         tid = order_ref[g, k]
-        return (
-            pltpu.make_async_copy(edge_hbm.at[tid], ebuf.at[slot],
-                                  sem_e.at[slot]),
-            pltpu.make_async_copy(plane_hbm.at[tid], pbuf.at[slot],
-                                  sem_p.at[slot]),
-        )
+        return pltpu.make_async_copy(tab_hbm.at[tid], buf.at[slot],
+                                     sem.at[slot])
 
     def live():
         alive = best_t_s[:] > 0  # dead lanes carry t_max = 0
@@ -172,9 +215,7 @@ def _kernel(count_ref, order_ref, tnear_ref, raye_ref, rayp_ref, tmax_ref,
 
     @pl.when((n > 0) & live())
     def _():
-        ce0, cp0 = copies(0, 0)
-        ce0.start()
-        cp0.start()
+        copy(0, 0).start()
 
         def cond(k):
             # Front-to-back early-out: once every ray's best hit is
@@ -188,7 +229,6 @@ def _kernel(count_ref, order_ref, tnear_ref, raye_ref, rayp_ref, tmax_ref,
 
         def body(k):
             slot = jax.lax.rem(k, 2)
-            ce, cp = copies(k, slot)
             # Prefetch k+1 into the other buffer while k computes --
             # only when the walk is certain to consume it (cond is
             # re-evaluated after the epilogue shrinks best_t, so gate
@@ -196,18 +236,14 @@ def _kernel(count_ref, order_ref, tnear_ref, raye_ref, rayp_ref, tmax_ref,
             # k+1 gate implied by k's).
             @pl.when(k + 1 < n)
             def _():
-                ne, np_ = copies(k + 1, 1 - slot)
-                ne.start()
-                np_.start()
+                copy(k + 1, 1 - slot).start()
 
-            ce.wait()
-            cp.wait()
-            e = ebuf[slot]  # [3, K, Tt]
-            p = pbuf[slot]  # [2, K, Tt]
+            copy(k, slot).wait()
+            tab = buf[slot]  # [5, K, Tt]
             w = jnp.concatenate(
-                [_dot_t(e[c], raye) for c in range(3)], axis=0)
+                [_dot_t(tab[c], raye) for c in range(3)], axis=0)
             nd = jnp.concatenate(
-                [_dot_t(p[c], rayp) for c in range(2)], axis=0)
+                [_dot_t(tab[3 + c], rayp) for c in range(2)], axis=0)
             bt, bid = _epilogue(w, nd, best_t_s[:], best_id_s[:],
                                 order_ref[g, k] * TRI_TILE, TRI_TILE, iota)
             best_t_s[:] = bt
@@ -220,9 +256,7 @@ def _kernel(count_ref, order_ref, tnear_ref, raye_ref, rayp_ref, tmax_ref,
         # last-1's body) so no DMA outlives the kernel.
         @pl.when(last < n)
         def _():
-            ce, cp = copies(last, jax.lax.rem(last, 2))
-            ce.wait()
-            cp.wait()
+            copy(last, jax.lax.rem(last, 2)).wait()
 
     t_out[0] = best_t_s[:]
     id_out[0] = best_id_s[:]
@@ -230,14 +264,13 @@ def _kernel(count_ref, order_ref, tnear_ref, raye_ref, rayp_ref, tmax_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("any_hit", "interpret"))
-def _intersect_pallas2(edge_table, plane_table, order, tnear, count,
+def _intersect_pallas2(table, order, tnear, count,
                        raye, rayp, t_max, any_hit: bool = False,
                        interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     G = raye.shape[0]
-    ntt = edge_table.shape[0]
     kern = functools.partial(_kernel, any_hit=any_hit)
     # index_maps receive (grid idx, *scalar-prefetch refs).
     ray_spec = pl.BlockSpec((1, _K, RAY_TILE),
@@ -254,16 +287,13 @@ def _intersect_pallas2(edge_table, plane_table, order, tnear, count,
         grid=(G,),
         in_specs=[
             ray_spec, ray_spec, flat_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),  # edge table (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # plane table (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # combined table (HBM)
         ],
         out_specs=[flat_spec, flat_spec],
         scratch_shapes=[
-            pltpu.VMEM((2, 3, _K, TRI_TILE), jnp.float32),
-            pltpu.VMEM((2, 2, _K, TRI_TILE), jnp.float32),
+            pltpu.VMEM((2, 5, _K, TRI_TILE), jnp.float32),
             pltpu.VMEM((1, RAY_TILE), jnp.float32),
             pltpu.VMEM((1, RAY_TILE), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -278,8 +308,7 @@ def _intersect_pallas2(edge_table, plane_table, order, tnear, count,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(count, order, tnear, raye, rayp, t_max[:, None, :],
-      edge_table, plane_table)
+    )(count, order, tnear, raye, rayp, t_max[:, None, :], table)
 
 
 def _intersect_ref2(tl: TwoLevelTris, order, tnear, count, raye, rayp,
@@ -288,7 +317,7 @@ def _intersect_ref2(tl: TwoLevelTris, order, tnear, count, raye, rayp,
     block, gather worklist tiles and run the shared dot+epilogue.  No
     early-out (it is an optimization, not a semantic)."""
     G = raye.shape[0]
-    ntt = tl.edge_table.shape[0]
+    ntt = tl.table.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (TRI_TILE, RAY_TILE), 0)
 
     def per_block(args):
@@ -297,12 +326,11 @@ def _intersect_ref2(tl: TwoLevelTris, order, tnear, count, raye, rayp,
         def body(carry, k):
             best_t, best_id = carry
             tid = orderb[k]
-            eblk = jnp.take(tl.edge_table, tid, axis=0)  # [3, K, Tt]
-            pblk = jnp.take(tl.plane_table, tid, axis=0)
+            tab = jnp.take(tl.table, tid, axis=0)  # [5, K, Tt]
             w = jnp.concatenate(
-                [_dot_t(eblk[c], rayeb) for c in range(3)], axis=0)
+                [_dot_t(tab[c], rayeb) for c in range(3)], axis=0)
             nd = jnp.concatenate(
-                [_dot_t(pblk[c], raypb) for c in range(2)], axis=0)
+                [_dot_t(tab[3 + c], raypb) for c in range(2)], axis=0)
             bt, bid = _epilogue(w, nd, best_t, best_id, tid * TRI_TILE,
                                 TRI_TILE, iota)
             skip = k >= countb
@@ -354,9 +382,16 @@ def intersect_twolevel(tl: TwoLevelTris, o, d, t_max,
     R = o.shape[0]
     sort_key = _ray_sort_keys(tl, o, d, t_max)
     perm = jnp.argsort(sort_key)
-    o, d, t_max = o[perm], d[perm], t_max[perm]
-
+    # One packed gather for the permutation (TPU gathers cost per row):
+    # [o(3), d(3), raye(8), rayp(8), tmax(1)] instead of 5 separate
+    # gathers of the same rows.
     raye, rayp, _ = ray_features(o, d)
+    packed = jnp.concatenate(
+        [o, d, raye, rayp, t_max[:, None]], axis=-1)[perm]
+    o, d = packed[:, 0:3], packed[:, 3:6]
+    raye, rayp = packed[:, 6:14], packed[:, 14:22]
+    t_max = packed[:, 22]
+
     G = max(1, -(-R // RAY_TILE))
     Rp = G * RAY_TILE
 
@@ -373,7 +408,7 @@ def intersect_twolevel(tl: TwoLevelTris, o, d, t_max,
     tm_t = tm_p.reshape(G, RAY_TILE)
     if jax.default_backend() == "tpu":
         t, idx = _intersect_pallas2(
-            tl.edge_table, tl.plane_table, order, tnear, count,
+            tl.table, order, tnear, count,
             raye_t, rayp_t, tm_t, any_hit=any_hit,
         )
         t = t.reshape(-1)[:R]
@@ -383,8 +418,20 @@ def intersect_twolevel(tl: TwoLevelTris, o, d, t_max,
                                  tm_t)
         t = t.reshape(-1)[:R]
         idx = idx.reshape(-1)[:R]
-    idx = jnp.where(idx >= 0, jnp.take(tl.perm, jnp.maximum(idx, 0)), -1)
-    # Unsort back to caller lane order.
+    if tl.perm is not None:
+        idx = jnp.where(idx >= 0, jnp.take(tl.perm, jnp.maximum(idx, 0)),
+                        -1)
+    else:
+        idx = jnp.where(idx >= tl.n_tris, -1, idx)
+    # Unsort back to caller lane order: one packed gather.  t rides as
+    # bitcast int32 lanes next to idx -- int transport preserves bit
+    # patterns exactly, whereas the reverse (idx as f32) is corrupted on
+    # TPU: idx = -1 is 0xFFFFFFFF, a quiet-NaN pattern that hardware
+    # float paths CANONICALIZE to 0x7FC00000, silently turning misses
+    # into bogus hits (observed: black films on the twolevel path only).
     inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(R, dtype=perm.dtype))
-    t, idx = t[inv], idx[inv]
+    out = jnp.stack(
+        [jax.lax.bitcast_convert_type(t, jnp.int32), idx], axis=-1)[inv]
+    t = jax.lax.bitcast_convert_type(out[:, 0], jnp.float32)
+    idx = out[:, 1]
     return t, idx, idx >= 0

@@ -56,10 +56,57 @@ class RenderSetup:
     lockstep_tab: Any = None  # [P,S,D] pbrt-stream replay (core/lockstep.py)
 
 
+def _morton_order_scene(scene_np):
+    """Reorder the triangle tables into Morton order at build time.
+
+    The fused/two-level intersectors pack triangles Morton-ordered and
+    used to remap every returned hit id through a [T] perm gather --
+    measured at ~0.57 ms per intersect call at 131k tris on v5e (x3
+    calls per bounce step).  Pre-permuting the scene tables makes the
+    packers' internal order the identity, so the remap is skipped
+    entirely (accel/fused.py stores perm=None).  Area-tri lights
+    reference single triangles (build_scene explodes meshes into
+    one light per emissive triangle), so only light_prim needs the
+    inverse remap; nothing observable changes (hit attributes travel
+    with their triangles; RNG is pixel/sample-addressed)."""
+    T = scene_np.tri_p0.shape[0]
+    if T == 0:
+        return scene_np
+    from .accel.fused import _morton
+
+    lo = np.minimum(np.minimum(scene_np.tri_p0,
+                               scene_np.tri_p0 + scene_np.tri_e1),
+                    scene_np.tri_p0 + scene_np.tri_e2)
+    hi = np.maximum(np.maximum(scene_np.tri_p0,
+                               scene_np.tri_p0 + scene_np.tri_e1),
+                    scene_np.tri_p0 + scene_np.tri_e2)
+    order = np.argsort(_morton(0.5 * (lo + hi)), kind="stable")
+    if np.array_equal(order, np.arange(T)):
+        return scene_np
+    inv = np.empty(T, np.int64)
+    inv[order] = np.arange(T)
+    fields = {}
+    for name in ("tri_p0", "tri_e1", "tri_e2", "tri_n0", "tri_n1",
+                 "tri_n2", "tri_uv0", "tri_uv1", "tri_uv2", "tri_mat",
+                 "tri_light", "tri_has_normals", "tri_med_in",
+                 "tri_med_out"):
+        arr = getattr(scene_np, name)
+        if arr is not None and getattr(arr, "shape", (0,))[0] == T:
+            fields[name] = np.asarray(arr)[order]
+    lp = np.asarray(scene_np.light_prim).copy()
+    if lp.size:
+        is_tri = np.asarray(scene_np.light_kind) == 0  # LIGHT_AREA_TRI
+        lp[is_tri] = inv[lp[is_tri]]
+        fields["light_prim"] = lp
+    return scene_np._replace(**fields)
+
+
 def prepare(desc: SceneDescription, base_seed: int = 0,
             force_dense: bool = False,
             strict_assets: bool | None = None) -> RenderSetup:
     scene_np = build_scene(desc, strict=strict_assets)
+    if not force_dense:
+        scene_np = _morton_order_scene(scene_np)
     width = int(desc.film_params.find_one("xresolution", 640))
     height = int(desc.film_params.find_one("yresolution", 480))
     filename = str(desc.film_params.find_one("filename", "out.pfm"))
@@ -579,6 +626,8 @@ class Renderer:
         self.denoiser = denoiser
         # Cap samples per XLA dispatch (watchdog + program reuse).
         self.max_samples_per_dispatch = 4
+        # Terminal progress bar (TTY only); CLI --quiet clears it.
+        self.progress = True
         P = setup.width * setup.height
         self.P = P
         if mesh is not None:
@@ -667,6 +716,13 @@ class Renderer:
         # exceed the device watchdog (observed as UNAVAILABLE after ~2
         # min); sub-chunks also reuse one compiled program across all
         # iteration sizes.
+        # Progress reporter (core/progressreporter.* equivalent): one
+        # tick per dispatch; suppressed when stdout is not a TTY.
+        from .io.progress import ProgressReporter
+
+        prog = ProgressReporter(
+            -(-n // self.max_samples_per_dispatch),
+            f"Rendering it {i}", quiet=not self.progress)
         done = 0
         while done < n:
             step = min(self.max_samples_per_dispatch, n - done)
@@ -679,7 +735,9 @@ class Renderer:
                 n_samples=step,
             )
             done += step
+            prog.update()
         jax.block_until_ready(self.film_sum)
+        prog.finish()
         t_render = time.perf_counter() - t0
 
         t0 = time.perf_counter()

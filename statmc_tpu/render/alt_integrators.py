@@ -9,7 +9,9 @@ tracing (they produce different images on the scenes they exist for:
 caustics, difficult visibility).
 
 Wavefront TPU drivers live in sibling modules:
-  * render/bdpt.py    -- bidirectional path tracer (bdpt.cpp:1)
+  * render/bdpt.py    -- bidirectional path tracer: all (s,t) connection
+                         strategies, pbrt's recursive MIS weights, t=1
+                         film splats (bdpt.cpp:352-780)
   * render/sppm.py    -- stochastic progressive photon mapping (sppm.cpp:1)
   * render/pssmlt.py  -- primary-sample-space MLT over many parallel
                          chains (mlt.cpp:1; pbrt's MLT is already PSS)

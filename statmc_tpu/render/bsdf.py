@@ -77,27 +77,54 @@ def gather_materials(scene: sb.SceneTables, mat_id: Array,
                      uv: Array | None = None,
                      p: Array | None = None,
                      uv_fp: Array | None = None) -> MaterialLanes:
-    kd = scene.mat_kd[mat_id]
+    # One packed [M, 24] row gather instead of 11 per-table gathers: TPU
+    # gathers cost per row, not per element (render/intersect.py
+    # _assemble_hit rationale); the concatenate is a tiny copy CSE'd
+    # across call sites within a jitted step.
+    f32 = jnp.float32
+    packed = jnp.concatenate([
+        scene.mat_type[:, None].astype(f32),
+        scene.mat_kd, scene.mat_ks, scene.mat_kr, scene.mat_kt,
+        scene.mat_eta, scene.mat_k,
+        scene.mat_rough_u[:, None], scene.mat_rough_v[:, None],
+        scene.mat_sigma[:, None],
+        scene.mat_kd_tex[:, None].astype(f32),
+    ], axis=-1)
+    row = jnp.take(packed, mat_id, axis=0)
+    kd = row[..., 1:4]
     if uv is not None:
-        kd_tex = scene.mat_kd_tex[mat_id]
+        kd_tex = jnp.round(row[..., 22]).astype(jnp.int32)
         # Textured Kd: base color is 1 for textured rows, so the product
         # gives the texture value; untextured lanes sample 1.  p feeds
-        # the 3-D noise textures (fbm/marble/...).
-        from ..scene.textures import sample_texture
+        # the 3-D noise textures (fbm/marble/...).  Elided statically
+        # when the scene has no textures at all.
+        if _scene_has_textures(scene):
+            from ..scene.textures import sample_texture
 
-        kd = kd * sample_texture(scene.textures, kd_tex, uv, p, uv_fp)
+            kd = kd * sample_texture(scene.textures, kd_tex, uv, p, uv_fp)
     return MaterialLanes(
-        mat_type=scene.mat_type[mat_id],
+        mat_type=jnp.round(row[..., 0]).astype(jnp.int32),
         kd=kd,
-        ks=scene.mat_ks[mat_id],
-        kr=scene.mat_kr[mat_id],
-        kt=scene.mat_kt[mat_id],
-        eta=scene.mat_eta[mat_id],
-        k=scene.mat_k[mat_id],
-        rough_u=scene.mat_rough_u[mat_id],
-        rough_v=scene.mat_rough_v[mat_id],
-        sigma=scene.mat_sigma[mat_id],
+        ks=row[..., 4:7],
+        kr=row[..., 7:10],
+        kt=row[..., 10:13],
+        eta=row[..., 13:16],
+        k=row[..., 16:19],
+        rough_u=row[..., 19],
+        rough_v=row[..., 20],
+        sigma=row[..., 21],
     )
+
+
+def _scene_has_textures(scene: sb.SceneTables) -> bool:
+    """Static check (scene tables are concrete at trace time): does any
+    material reference a texture row?"""
+    try:
+        import numpy as _np
+
+        return bool(_np.any(_np.asarray(scene.mat_kd_tex) >= 0))
+    except Exception:  # traced scene: keep the texture path
+        return True
 
 
 def is_specular(m: MaterialLanes) -> Array:

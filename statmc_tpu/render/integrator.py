@@ -262,8 +262,12 @@ def _bounce_step(scene, bvh, dist, cfg: IntegratorConfig, carry, step,
         wi2 = frame.to_world(bsmp.wi)
         f_b = bsmp.f * cm.absdot(wi2, hit.ns)[..., None]
         bs_o = _offset_origin(hit.p, hit.ng, wi2)
+        # Lean light probe: the BSDF-MIS ray only needs found / light_id
+        # / ng / p (Le sidedness + Pdf_Li), so skip the uv/material
+        # attribute gathers of the full assembly.
         hit2 = intersect_scene(scene, bs_o, wi2,
-                               t_max=jnp.where(nee, cm.INF, 0.0), bvh=bvh)
+                               t_max=jnp.where(nee, cm.INF, 0.0), bvh=bvh,
+                               lean=True)
         same_light = hit2.found & (hit2.light_id == light_id)
         li_b_hit = LT.area_light_le(scene, hit2.light_id, hit2.ng, -wi2)
         is_inf_light = scene.light_kind[light_id] == sb.LIGHT_INFINITE

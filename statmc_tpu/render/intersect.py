@@ -88,8 +88,17 @@ def ray_spheres(o: Array, d: Array, center: Array, radius: Array,
     return t, hit
 
 
-def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx) -> Hit:
-    """Gather hit attributes for the closest primitives."""
+def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx,
+                  lean: bool = False) -> Hit:
+    """Gather hit attributes for the closest primitives.
+
+    lean=True skips the shading-only attributes (uv, material id,
+    uv_density, interpolated ns as output) and gathers a smaller packed
+    row -- used by the BSDF-MIS light probe, which only reads found /
+    light_id / ng / p (statpath's EstimateDirect BSDF half,
+    statpath.cpp:663-700).  ng keeps its exact orientation semantics
+    (flip toward interpolated ns, triangle.cpp:372), so Le sidedness is
+    identical to the full assembly."""
     R = o.shape[0]
     tri_idx = jnp.where(kind == PRIM_TRI, idx, 0)
     sph_idx = jnp.where(kind == PRIM_SPH, idx, 0)
@@ -105,21 +114,27 @@ def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx) -> Hit:
         # [T, 27] row beats 12 separate per-field gathers (measured
         # ~1.6 ms -> ~0.3 ms at 32k rays on v5e).  The concatenate is a
         # [T, 27] copy, negligible and CSE'd across calls within a jit.
-        packed = jnp.concatenate([
+        fields = [
             scene.tri_p0, scene.tri_e1, scene.tri_e2,
             scene.tri_n0, scene.tri_n1, scene.tri_n2,
-            scene.tri_uv0, scene.tri_uv1, scene.tri_uv2,
+        ]
+        if not lean:
+            fields += [scene.tri_uv0, scene.tri_uv1, scene.tri_uv2]
+        fields += [
             scene.tri_has_normals[:, None].astype(jnp.float32),
-            scene.tri_mat[:, None].astype(jnp.float32),
             scene.tri_light[:, None].astype(jnp.float32),
-        ], axis=-1)
+        ]
+        if not lean:
+            fields += [scene.tri_mat[:, None].astype(jnp.float32)]
+        packed = jnp.concatenate(fields, axis=-1)
         row = jnp.take(packed, tri_idx, axis=0)
         p0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
         n0, n1, n2 = row[:, 9:12], row[:, 12:15], row[:, 15:18]
-        uv0, uv1, uv2 = row[:, 18:20], row[:, 20:22], row[:, 22:24]
-        hasn = row[:, 24] > 0.5
-        mat_t = jnp.round(row[:, 25]).astype(jnp.int32)
-        light_t = jnp.round(row[:, 26]).astype(jnp.int32)
+        b = 18 if lean else 24
+        hasn = row[:, b] > 0.5
+        light_t = jnp.round(row[:, b + 1]).astype(jnp.int32)
+        mat_t = (jnp.zeros((R,), jnp.int32) if lean
+                 else jnp.round(row[:, 26]).astype(jnp.int32))
         ng_t = cm.normalize(jnp.cross(e1, e2))
         # Recompute barycentrics at the hit for uv/shading normals.
         pvec = jnp.cross(d, e2)
@@ -138,27 +153,37 @@ def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx) -> Hit:
             (hasn & (cm.dot(ng_t, ns_t) < 0.0))[:, None], -ng_t, ng_t
         )
         ns_t = jnp.where(hasn[:, None], ns_t, ng_t)
-        uv_t = w[:, None] * uv0 + u[:, None] * uv1 + v[:, None] * uv2
-        uv_area = jnp.abs(
-            (uv1 - uv0)[:, 0] * (uv2 - uv0)[:, 1]
-            - (uv1 - uv0)[:, 1] * (uv2 - uv0)[:, 0]
-        )
-        w_area = cm.length(jnp.cross(e1, e2))
-        dens_t = jnp.sqrt(uv_area / jnp.maximum(w_area, 1e-12))
+        if lean:
+            uv_t = jnp.zeros((R, 2))
+            dens_t = jnp.zeros((R,))
+        else:
+            uv0, uv1, uv2 = row[:, 18:20], row[:, 20:22], row[:, 22:24]
+            uv_t = w[:, None] * uv0 + u[:, None] * uv1 + v[:, None] * uv2
+            uv_area = jnp.abs(
+                (uv1 - uv0)[:, 0] * (uv2 - uv0)[:, 1]
+                - (uv1 - uv0)[:, 1] * (uv2 - uv0)[:, 0]
+            )
+            w_area = cm.length(jnp.cross(e1, e2))
+            dens_t = jnp.sqrt(uv_area / jnp.maximum(w_area, 1e-12))
     if has_sph:
         cen = scene.sph_center[sph_idx]
         ng_s = cm.normalize(p - cen)
         ns_s = ng_s
-        phi = jnp.arctan2(ng_s[..., 1], ng_s[..., 0])
-        theta = jnp.arccos(jnp.clip(ng_s[..., 2], -1.0, 1.0))
-        uv_s = jnp.stack(
-            [phi / (2 * jnp.pi) + 0.5, theta / jnp.pi], axis=-1
-        )
-        mat_s = scene.sph_mat[sph_idx]
         light_s = scene.sph_light[sph_idx]
-        rad = scene.sph_radius[sph_idx]
-        dens_s = 1.0 / jnp.sqrt(jnp.maximum(
-            4.0 * jnp.pi * rad * rad, 1e-12))
+        if lean:
+            uv_s = jnp.zeros((R, 2))
+            mat_s = jnp.zeros((R,), jnp.int32)
+            dens_s = jnp.zeros((R,))
+        else:
+            phi = jnp.arctan2(ng_s[..., 1], ng_s[..., 0])
+            theta = jnp.arccos(jnp.clip(ng_s[..., 2], -1.0, 1.0))
+            uv_s = jnp.stack(
+                [phi / (2 * jnp.pi) + 0.5, theta / jnp.pi], axis=-1
+            )
+            mat_s = scene.sph_mat[sph_idx]
+            rad = scene.sph_radius[sph_idx]
+            dens_s = 1.0 / jnp.sqrt(jnp.maximum(
+                4.0 * jnp.pi * rad * rad, 1e-12))
 
     if has_tris and has_sph:
         is_t = (kind == PRIM_TRI)[:, None]
@@ -244,7 +269,7 @@ def _dense_closest_tris(scene, o, d, t_best):
 
 
 def intersect_dense(scene: SceneTables, o: Array, d: Array,
-                    t_max: Array | None = None) -> Hit:
+                    t_max: Array | None = None, lean: bool = False) -> Hit:
     """Closest-hit against every primitive via chunked all-pairs testing.
 
     This is the TPU fast path for small/medium scenes: pure dense VPU
@@ -290,7 +315,7 @@ def intersect_dense(scene: SceneTables, o: Array, d: Array,
         kind = kind.reshape(-1)[:R]
         idx = idx.reshape(-1)[:R]
 
-    return _assemble_hit(scene, o, d, t_best, kind, idx)
+    return _assemble_hit(scene, o, d, t_best, kind, idx, lean=lean)
 
 
 def _bvh_intersect(bvh, scene, o, d, t_max, any_hit=False):
@@ -319,10 +344,15 @@ def _bvh_intersect(bvh, scene, o, d, t_max, any_hit=False):
 
 
 def intersect_scene(scene: SceneTables, o: Array, d: Array,
-                    t_max: Array | None = None, bvh=None) -> Hit:
-    """Closest hit via BVH for triangles (when provided) + dense spheres."""
+                    t_max: Array | None = None, bvh=None,
+                    lean: bool = False) -> Hit:
+    """Closest hit via BVH for triangles (when provided) + dense spheres.
+
+    lean=True returns a light-probe Hit (found/t/p/ng/light_id only;
+    uv/mat_id/ns-interp/uv_density zeroed) -- the cheap assembly for
+    BSDF-MIS rays that only need emitted radiance + light pdf."""
     if bvh is None:
-        return intersect_dense(scene, o, d, t_max)
+        return intersect_dense(scene, o, d, t_max, lean=lean)
 
     R = o.shape[0]
     if t_max is None:
@@ -348,7 +378,7 @@ def intersect_scene(scene: SceneTables, o: Array, d: Array,
         kind = jnp.where(better, PRIM_TRI, kind)
         idx = jnp.where(better, tid, idx)
 
-    return _assemble_hit(scene, o, d, t_best, kind, idx)
+    return _assemble_hit(scene, o, d, t_best, kind, idx, lean=lean)
 
 
 def occluded_scene(scene: SceneTables, o: Array, d: Array, t_max: Array,

@@ -16,11 +16,47 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import math as cm
 from ..scene import build as sb
 
 Array = jax.Array
+
+
+def _light_rows(scene: sb.SceneTables, light_id: Array):
+    """One packed row gather for the per-light attributes.
+
+    TPU gathers cost per row, not per element (render/intersect.py
+    _assemble_hit rationale): fetching one [L, 14] row beats the 7
+    separate per-table gathers sample_li/pdf_li used to issue.  The
+    concatenate is a tiny [L, 14] copy, CSE'd across call sites within
+    a jitted step."""
+    f32 = jnp.float32
+    packed = jnp.concatenate([
+        scene.light_kind[:, None].astype(f32),
+        scene.light_L,
+        scene.light_prim[:, None].astype(f32),
+        scene.light_pos,
+        scene.light_aux,
+        scene.light_params,
+        scene.light_area[:, None],
+    ], axis=-1)  # [L, 14]
+    row = jnp.take(packed, light_id, axis=0)
+    kind = jnp.round(row[..., 0]).astype(jnp.int32)
+    return (kind, row[..., 1:4], jnp.round(row[..., 4]).astype(jnp.int32),
+            row[..., 5:8], row[..., 8:11], row[..., 11:13], row[..., 13])
+
+
+def _has_image_lights(scene: sb.SceneTables) -> bool:
+    """True when any goniometric/projection light exists.
+    Scene tables are concrete at trace time (jit closures), so this is
+    a static Python decision, like `int(scene.env_light_id)` below."""
+    try:
+        k = np.asarray(scene.light_kind)
+        return bool(np.any((k == sb.LIGHT_GONIO) | (k == sb.LIGHT_PROJ)))
+    except Exception:  # traced (non-closure) scene: keep the full path
+        return True
 
 
 class LightSample(NamedTuple):
@@ -35,13 +71,7 @@ class LightSample(NamedTuple):
 def sample_li(scene: sb.SceneTables, light_id: Array, ref_p: Array,
               ref_ng: Array, u2: Array) -> LightSample:
     """Sample one light per lane. light_id: [R] into the light tables."""
-    kind = scene.light_kind[light_id]
-    L = scene.light_L[light_id]
-    prim = scene.light_prim[light_id]
-    pos = scene.light_pos[light_id]
-    aux = scene.light_aux[light_id]
-    par = scene.light_params[light_id]
-    area = scene.light_area[light_id]
+    kind, L, prim, pos, aux, par, area = _light_rows(scene, light_id)
 
     R = ref_p.shape[0]
     eps = 1e-4
@@ -49,9 +79,11 @@ def sample_li(scene: sb.SceneTables, light_id: Array, ref_p: Array,
     # ---- AREA_TRI: uniform-area triangle sampling --------------------
     if scene.tri_p0.shape[0] > 0:
         tid = jnp.where(kind == sb.LIGHT_AREA_TRI, prim, 0)
-        p0 = scene.tri_p0[tid]
-        e1 = scene.tri_e1[tid]
-        e2 = scene.tri_e2[tid]
+        # Single packed row gather (see _light_rows rationale).
+        tri_packed = jnp.concatenate(
+            [scene.tri_p0, scene.tri_e1, scene.tri_e2], axis=-1)
+        trow = jnp.take(tri_packed, tid, axis=0)
+        p0, e1, e2 = trow[..., 0:3], trow[..., 3:6], trow[..., 6:9]
         # Uniform barycentric (triangle.cpp:Sample / sampling.cpp:
         # UniformSampleTriangle).
         su0 = jnp.sqrt(jnp.maximum(u2[..., 0], 0.0))
@@ -80,8 +112,9 @@ def sample_li(scene: sb.SceneTables, light_id: Array, ref_p: Array,
     # ---- AREA_SPH: cone sampling from outside (sphere.cpp:Sample) ----
     if scene.sph_center.shape[0] > 0:
         sid = jnp.where(kind == sb.LIGHT_AREA_SPH, prim, 0)
-        c = scene.sph_center[sid]
-        r = scene.sph_radius[sid]
+        srow = jnp.take(jnp.concatenate(
+            [scene.sph_center, scene.sph_radius[:, None]], -1), sid, axis=0)
+        c, r = srow[..., 0:3], srow[..., 3]
         to_c = c - ref_p
         dc2 = cm.length_squared(to_c)
         dc = jnp.sqrt(jnp.maximum(dc2, 1e-20))
@@ -155,43 +188,50 @@ def sample_li(scene: sb.SceneTables, light_id: Array, ref_p: Array,
     # ---- GONIOMETRIC / PROJECTION (image-modulated point lights) -----
     # lights/goniometric.cpp:Scale and lights/projection.cpp:Projection:
     # the outgoing direction in light space indexes an intensity image.
-    w2l = scene.light_w2l[light_id].reshape((-1, 3, 3))
-    tex_id = scene.light_tex[light_id]
-    # Elementwise 3x3 apply (not einsum): a default-precision dot lowers
-    # to single-pass bf16 on TPU and corrupts the light-space direction
-    # (core/math.py:_apply33 rationale).
-    w_out = jnp.sum(w2l * (-wi_p)[:, None, :], axis=-1)
-    from ..scene.textures import sample_texture
+    # The whole block (2 gathers + 2 texture lookups) is elided
+    # statically when no light carries an image (_has_image_lights).
+    if _has_image_lights(scene):
+        w2l = scene.light_w2l[light_id].reshape((-1, 3, 3))
+        tex_id = scene.light_tex[light_id]
+        # Elementwise 3x3 apply (not einsum): a default-precision dot
+        # lowers to single-pass bf16 on TPU and corrupts the light-space
+        # direction (core/math.py:_apply33 rationale).
+        w_out = jnp.sum(w2l * (-wi_p)[:, None, :], axis=-1)
+        from ..scene.textures import sample_texture
 
-    # Goniometric: lights/goniometric.h:70-71 swaps (y, z) BEFORE
-    # SphericalTheta/SphericalPhi, so theta comes from the y component
-    # and phi from (x, z).  sample_texture's imagemap path applies the
-    # (1-v) row flip that the reference's direct MIPMap lookup does not,
-    # so v is pre-flipped here to compensate.
-    theta = jnp.arccos(jnp.clip(w_out[..., 1], -1.0, 1.0))
-    phi_g = jnp.arctan2(w_out[..., 2], w_out[..., 0])
-    phi_g = jnp.where(phi_g < 0, phi_g + 2 * jnp.pi, phi_g)
-    uv_g = jnp.stack([phi_g / (2 * jnp.pi), 1.0 - theta / jnp.pi], axis=-1)
-    gain_g = sample_texture(scene.textures, tex_id, uv_g)
-    li_gonio = li_p * jnp.where((tex_id >= 0)[..., None], gain_g, 1.0)
-    # Projection: perspective divide onto the fov screen window.
-    tan_half = jnp.maximum(par[..., 0], 1e-6)
-    aspect = jnp.maximum(par[..., 1], 1e-6)
-    zl = w_out[..., 2]
-    safe_z = jnp.where(jnp.abs(zl) > 1e-6, zl, 1.0)
-    sx = w_out[..., 0] / (safe_z * tan_half)
-    sy = w_out[..., 1] / (safe_z * tan_half)
-    sw = jnp.where(aspect > 1.0, aspect, 1.0)
-    sh = jnp.where(aspect > 1.0, 1.0, 1.0 / aspect)
-    u_pr = (sx / sw + 1.0) * 0.5
-    v_pr = (sy / sh + 1.0) * 0.5
-    in_frustum = (zl > 1e-3) & (u_pr >= 0) & (u_pr <= 1) \
-        & (v_pr >= 0) & (v_pr <= 1)
-    gain_p = sample_texture(
-        scene.textures, tex_id, jnp.stack([u_pr, v_pr], axis=-1)
-    )
-    gain_p = jnp.where((tex_id >= 0)[..., None], gain_p, 1.0)
-    li_proj = li_p * jnp.where(in_frustum[..., None], gain_p, 0.0)
+        # Goniometric: lights/goniometric.h:70-71 swaps (y, z) BEFORE
+        # SphericalTheta/SphericalPhi, so theta comes from the y
+        # component and phi from (x, z).  sample_texture's imagemap path
+        # applies the (1-v) row flip that the reference's direct MIPMap
+        # lookup does not, so v is pre-flipped here to compensate.
+        theta = jnp.arccos(jnp.clip(w_out[..., 1], -1.0, 1.0))
+        phi_g = jnp.arctan2(w_out[..., 2], w_out[..., 0])
+        phi_g = jnp.where(phi_g < 0, phi_g + 2 * jnp.pi, phi_g)
+        uv_g = jnp.stack(
+            [phi_g / (2 * jnp.pi), 1.0 - theta / jnp.pi], axis=-1)
+        gain_g = sample_texture(scene.textures, tex_id, uv_g)
+        li_gonio = li_p * jnp.where((tex_id >= 0)[..., None], gain_g, 1.0)
+        # Projection: perspective divide onto the fov screen window.
+        tan_half = jnp.maximum(par[..., 0], 1e-6)
+        aspect = jnp.maximum(par[..., 1], 1e-6)
+        zl = w_out[..., 2]
+        safe_z = jnp.where(jnp.abs(zl) > 1e-6, zl, 1.0)
+        sx = w_out[..., 0] / (safe_z * tan_half)
+        sy = w_out[..., 1] / (safe_z * tan_half)
+        sw = jnp.where(aspect > 1.0, aspect, 1.0)
+        sh = jnp.where(aspect > 1.0, 1.0, 1.0 / aspect)
+        u_pr = (sx / sw + 1.0) * 0.5
+        v_pr = (sy / sh + 1.0) * 0.5
+        in_frustum = (zl > 1e-3) & (u_pr >= 0) & (u_pr <= 1) \
+            & (v_pr >= 0) & (v_pr <= 1)
+        gain_p = sample_texture(
+            scene.textures, tex_id, jnp.stack([u_pr, v_pr], axis=-1)
+        )
+        gain_p = jnp.where((tex_id >= 0)[..., None], gain_p, 1.0)
+        li_proj = li_p * jnp.where(in_frustum[..., None], gain_p, 0.0)
+    else:
+        li_gonio = li_p
+        li_proj = jnp.zeros_like(li_p)
 
     # ---- DISTANT -----------------------------------------------------
     wi_d = pos  # stored direction toward light
@@ -298,9 +338,7 @@ def pdf_li(scene: sb.SceneTables, light_id: Array, ref_p: Array, wi: Array,
     given that a BSDF-sampled ray hit that light at hit_p (Light::Pdf_Li).
     For infinite lights hit_valid is False and hit_p unused.
     """
-    kind = scene.light_kind[light_id]
-    area = scene.light_area[light_id]
-    prim = scene.light_prim[light_id]
+    kind, _, prim, _, _, _, area = _light_rows(scene, light_id)
 
     # Area triangle: r^2 / (cos * area).
     d2 = cm.length_squared(hit_p - ref_p)
@@ -312,8 +350,9 @@ def pdf_li(scene: sb.SceneTables, light_id: Array, ref_p: Array, wi: Array,
     # Sphere: cone pdf from outside.
     if scene.sph_center.shape[0] > 0:
         sid = jnp.where(kind == sb.LIGHT_AREA_SPH, prim, 0)
-        c = scene.sph_center[sid]
-        r = scene.sph_radius[sid]
+        srow = jnp.take(jnp.concatenate(
+            [scene.sph_center, scene.sph_radius[:, None]], -1), sid, axis=0)
+        c, r = srow[..., 0:3], srow[..., 3]
         dc2 = cm.length_squared(c - ref_p)
         inside = dc2 <= r * r * 1.0001
         sin2_tmax = jnp.clip(r * r / jnp.maximum(dc2, 1e-20), 0.0, 1.0)

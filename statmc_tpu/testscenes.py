@@ -119,6 +119,118 @@ def staircase_proxy(n_steps: int = 24, clutter: int = 60,
     return body
 
 
+def terrain_proxy(n: int = 256, seed: int = 11) -> str:
+    """A >=100k-triangle ENCLOSED scene for large-scene benchmarking.
+
+    One heightfield floor of 2*(n-1)^2 triangles (n=256 -> 130050)
+    inside a closed hall (walls + ceiling) with metal/glass spheres and
+    a clutter field under two area light panels -- the two-level
+    worklist traversal path (accel/twolevel.py; scenes past
+    FUSED_MAX_TRIS).  Enclosure matters: the reference's perf scenes
+    (staircase, bathroom, classroom) are interiors where every bounce
+    shades and runs NEE; an open scene leaks most paths to the sky
+    after one bounce and measures mostly dead lanes.  The reference
+    scenes' PLY assets are not mounted, so scale comes from procedural
+    geometry.
+    """
+    rng = np.random.default_rng(seed)
+    out = []
+    # Hall shell: four walls + ceiling enclose the terrain floor.
+    out.append('Material "matte" "rgb Kd" [0.62 0.60 0.57]\n')
+    shell = [
+        ((-8.2, -0.5, -8.2), (-8.0, 8.2, 8.2)),   # left wall
+        ((8.0, -0.5, -8.2), (8.2, 8.2, 8.2)),     # right wall
+        ((-8.2, -0.5, -8.2), (8.2, 8.2, -8.0)),   # front wall
+        ((-8.2, -0.5, 8.0), (8.2, 8.2, 8.2)),     # back wall
+        ((-8.2, 8.0, -8.2), (8.2, 8.2, 8.2)),     # ceiling
+    ]
+    for lo, hi in shell:
+        v, f = _box_tris(lo, hi)
+        out.append(_mesh_stmt(v, f))
+    # Multi-octave bumpy terrain over [0,1]^2 (z up in heightfield
+    # space; the CTM below lays it flat in world y).
+    us = np.linspace(0.0, 1.0, n)
+    uu, vv = np.meshgrid(us, us, indexing="xy")
+    z = np.zeros_like(uu)
+    for octv in range(5):
+        f = 2.0 ** octv
+        amp = 0.5 ** octv
+        pu, pv = rng.random(2) * 6.28
+        z += amp * np.sin(6.28 * f * uu + pu) * np.cos(6.28 * f * vv + pv)
+    z = (z - z.min()) / max(float(np.ptp(z)), 1e-9) * 0.15
+    pz = " ".join(f"{v:.4f}" for v in z.reshape(-1))
+    out.append('Material "substrate" "rgb Kd" [0.35 0.3 0.25] '
+               '"rgb Ks" [0.05 0.05 0.05] "float uroughness" [0.15] '
+               '"float vroughness" [0.15] "bool remaproughness" ["false"]\n')
+    out.append("AttributeBegin\n")
+    out.append("Translate -8 0 -8\nScale 16 1 16\nRotate -90 1 0 0\n")
+    out.append(f'Shape "heightfield" "integer nu" [{n}] "integer nv" [{n}] '
+               f'"float Pz" [ {pz} ]\n')
+    out.append("AttributeEnd\n")
+
+    # Sphere field: mixed metal/glass/matte.
+    mats = [
+        'Material "metal" "rgb eta" [0.2 0.92 1.1] "rgb k" '
+        '[3.9 2.45 2.14] "float roughness" [0.05] '
+        '"bool remaproughness" ["false"]\n',
+        'Material "glass" "float index" [1.5]\n',
+        'Material "matte" "rgb Kd" [0.6 0.3 0.2]\n',
+        'Material "plastic" "rgb Kd" [0.2 0.35 0.6] '
+        '"rgb Ks" [0.3 0.3 0.3] "float roughness" [0.08]\n',
+    ]
+    for i in range(48):
+        p = rng.random(2) * 12 - 6
+        r = rng.random() * 0.35 + 0.15
+        out.append("AttributeBegin\n")
+        out.append(mats[i % len(mats)])
+        out.append(f"Translate {p[0]:.3f} {0.6 + r:.3f} {p[1]:.3f}\n")
+        out.append(f'Shape "sphere" "float radius" [{r:.3f}]\n')
+        out.append("AttributeEnd\n")
+
+    # Clutter boxes.
+    for _ in range(120):
+        c = rng.random(3) * 0.7 + 0.1
+        p = rng.random(3) * np.array([14, 1.2, 14]) - np.array([7, -0.3, 7])
+        s = rng.random(3) * 0.5 + 0.1
+        out.append(
+            f'Material "matte" "rgb Kd" [{c[0]:.3f} {c[1]:.3f} {c[2]:.3f}]\n'
+        )
+        v, f = _box_tris(tuple(p), tuple(p + s))
+        out.append(_mesh_stmt(v, f))
+
+    # Two ceiling light panels (wound so normals point down).
+    for cx in (-4.0, 4.0):
+        out.append(
+            "AttributeBegin\n"
+            'AreaLightSource "diffuse" "rgb L" [16 15 14]\n'
+            'Material "matte" "rgb Kd" [0 0 0]\n'
+            'Shape "trianglemesh" "integer indices" [0 1 2 0 2 3] '
+            f'"point P" [{cx-2:.1f} 7.9 -2  {cx+2:.1f} 7.9 -2  '
+            f'{cx+2:.1f} 7.9 2  {cx-2:.1f} 7.9 2]\n'
+            "AttributeEnd\n"
+        )
+    return "".join(out)
+
+
+def terrain_scene_text(width=1280, height=720, spp=4, iterations=1,
+                       maxdepth=8, n: int = 256, denoise=False) -> str:
+    body = terrain_proxy(n=n)
+    return (
+        f'Integrator "statpath" "integer maxdepth" [{maxdepth}] '
+        f'"integer iterations" [{iterations}] '
+        f'"bool expiterations" ["true"] '
+        f'"bool denoiseimage" ["{"true" if denoise else "false"}"] '
+        f'"bool calcstats" ["true"]\n'
+        f'Sampler "random" "integer pixelsamples" [{spp}]\n'
+        f'Film "image" "integer xresolution" [{width}] '
+        f'"integer yresolution" [{height}] '
+        f'"string filename" ["terrain-proxy.pfm"]\n'
+        'LookAt 6.5 5.5 -7  0 0.8 0  0 1 0\n'
+        'Camera "perspective" "float fov" [52]\n'
+        "WorldBegin\n" + body + "WorldEnd\n"
+    )
+
+
 def scene_text(width=512, height=512, spp=4, iterations=5, maxdepth=16,
                denoise=True, filtersd=10.0, filterradius=20,
                body: str | None = None, extra_integrator: str = "") -> str:

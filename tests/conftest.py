@@ -73,6 +73,11 @@ _SLOW_TESTS = {
     "test_null_boundary_fog_region",
     "test_regen_matches_per_sample_ld",
     "test_regen_matches_pixelbounds_crop",
+    "test_bdpt_matches_path_mean",
+    "test_bdpt_beats_path_on_caustics",
+    "test_sppm_matches_path_mean",
+    "test_mlt_matches_path_mean",
+    "test_mlt_bootstrap_normalization",
 }
 
 
