@@ -24,15 +24,40 @@ D = 5 + 8*n_steps values.  The wavefront integrator consumes the table
 positionally (core/rng.py MODE_LOCKSTEP), so every draw site receives
 the exact value pbrt's sampler would produce at that stream position.
 
-Known, documented divergence: pbrt consumes draws *conditionally* (a
-path that terminates at bounce 2 stops drawing; BSDF component choice
-reuses uScattering.x internally), so the serial stream position of
-sample k+1 depends on sample k's path length.  Bit-exact diffing
-against the stock reference therefore holds up to the first early
-termination in a tile; full-stream parity requires running the
-reference with padded consumption (a two-line patch to its sample loop,
-noted here so the diffing protocol is reproducible).  Seeding, tile
-decomposition, draw order, and the PCG32 stream itself are exact.
+Two replay modes share the host PCG32:
+
+* PADDED (make_table, MODE_LOCKSTEP): a fixed per-sample layout of
+  D = 5 + 8*n_steps values.  Device-speed, but the serial stream
+  position drifts from the reference after any early-terminated path
+  (pbrt consumes draws conditionally).  Use it when only per-site
+  value distribution matters.
+* EXACT (make_streams + render/lockstep_exact.py,
+  MODE_LOCKSTEP_EXACT): replays pbrt's *conditional* consumption.
+  Each tile's raw serial stream is materialized once; the replay
+  driver walks (pixel-in-tile, sample) in the reference's serial
+  order and threads a per-tile stream cursor through the bounce scan,
+  advancing it exactly as the reference's control flow would:
+    camera        5 draws, always     (core/sampler.cpp:56-62)
+    NEE           5 draws iff the hit BSDF has non-specular lobes
+                  (statpath.cpp:846 NumComponents guard; select +
+                  uLight + uScattering, statpath.cpp:744-752; the
+                  SMIS variant consumes identically -- EstimateDirect-
+                  SMIS never touches the sampler, statpath.cpp:552-730)
+    continuation  2 draws iff found && bounces < maxDepth && bsdf
+                  non-null (statpath.cpp:869; consumed even when
+                  f==0/pdf==0 breaks after)
+    RR            1 draw iff bounces > 3 && alive && survivalRate <
+                  rrThreshold (statpath.cpp:941-948: Get1D sits
+                  inside BOTH conditionals)
+    null BSDF     0 draws (statpath.cpp:823-827 re-spawns before any
+                  sampler call)
+  Seeding, tile decomposition, draw order, the PCG32 stream, and the
+  per-sample stream positions are all exact; see
+  tests/test_lockstep_exact.py for the positional-parity proof on a
+  mixed-path-length multi-sample tile.  (Out of scope: media/BSSRDF
+  draw sites, and the zero-probability light-select early-out of
+  Distribution1D::SampleDiscrete, which consumes 1 draw instead of 5
+  -- unreachable under the uniform/power strategies.)
 """
 from __future__ import annotations
 
@@ -126,3 +151,46 @@ def make_table(width: int, height: int, spp: int, n_steps: int,
         + np.arange(spp)[None, :, None] * D \
         + np.arange(D)[None, None, :]
     return stream[tid[:, None, None], base]
+
+
+def _tile_geometry(width: int, height: int):
+    """(tid [P], idx_in_tile [P], n_tx, n_ty): the reference's 16x16
+    tile decomposition with cropped tile bounds (statpath.cpp:132-184),
+    pixels row-major within each cropped tile."""
+    n_tx = (width + TILE - 1) // TILE
+    n_ty = (height + TILE - 1) // TILE
+    ys, xs = np.divmod(np.arange(width * height), width)
+    tx, ty = xs // TILE, ys // TILE
+    tid = ty * n_tx + tx
+    tw = np.minimum((tx + 1) * TILE, width) - tx * TILE
+    idx_in_tile = (ys - ty * TILE) * tw + (xs - tx * TILE)
+    return tid, idx_in_tile, n_tx, n_ty
+
+
+def make_streams(width: int, height: int, spp: int, max_depth: int,
+                 base_seed: int = 0):
+    """Raw serial per-tile PCG32 streams for the EXACT replay mode.
+
+    Returns (stream [T, L] f32, pixel_of_tile [T, max_px] int32 with -1
+    padding, n_px [T] int32).  L = max_px * spp * (5 + 8*max_depth): a
+    per-sample worst case (every bounce shading + RR-drawing) bound on
+    conditional consumption, so no tile can run off its stream.
+    """
+    tid, idx_in_tile, n_tx, n_ty = _tile_geometry(width, height)
+    T = n_tx * n_ty
+    tile_index = np.arange(T, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        seq = np.uint64(base_seed + 1) * (tile_index + np.uint64(1))
+    state, inc = _set_sequence(seq)
+
+    max_px = int(idx_in_tile.max()) + 1
+    D = D_CAMERA + D_BOUNCE * max_depth
+    L = max_px * spp * D
+    stream = np.empty((T, L), dtype=np.float32)
+    for k in range(L):
+        stream[:, k], state = _uniform_float(state, inc)
+
+    pixel_of_tile = np.full((T, max_px), -1, np.int32)
+    pixel_of_tile[tid, idx_in_tile] = np.arange(width * height)
+    n_px = (pixel_of_tile >= 0).sum(axis=1).astype(np.int32)
+    return stream, pixel_of_tile, n_px

@@ -163,6 +163,12 @@ MODE_HALTON = 2
 # Lockstep replay of the reference's serial per-tile PCG32 streams from
 # a host-precomputed table (core/lockstep.py); ld = (table[P,S,D], n).
 MODE_LOCKSTEP = 3
+# Exact conditional-consumption replay (core/lockstep.py EXACT mode +
+# render/lockstep_exact.py): ld = raw stream rows [P, L]; the stream
+# cursor lives in the bounce-scan carry, advanced by the same control
+# flow that gates pbrt's sampler calls.  Draw sites in
+# integrator._bounce_step read positionally at the cursor.
+MODE_LOCKSTEP_EXACT = 4
 
 N_SLOTS = 8  # draw sites per bounce (slots above)
 

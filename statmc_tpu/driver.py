@@ -661,6 +661,21 @@ class Renderer:
         self.film_f = None
         self.base_key = crng.base_key(s.base_seed)
 
+    def render_lockstep_exact(self, spp: int | None = None):
+        """Exact serial-consumption lockstep replay: every draw site
+        reads the reference's per-tile PCG32 stream at its true serial
+        position (conditional consumption; render/lockstep_exact.py).
+        Parity instrument -- tiles trace one sample at a time."""
+        from .render.lockstep_exact import render_exact
+
+        s = self.s
+        cfg = s.icfg._replace(sampler_mode=crng.MODE_LOCKSTEP_EXACT)
+        return render_exact(
+            s.scene, s.bvh, s.dist, cfg, s.cam, s.width, s.height,
+            spp if spp is not None else s.ecfg.pixel_samples,
+            s.base_seed, albedo_luts=s.albedo_luts,
+        )
+
     def _real_states(self):
         """States with the pixel pad sliced away ([NB, P, C])."""
         if self.Pp == self.P:

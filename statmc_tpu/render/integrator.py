@@ -172,6 +172,19 @@ def _bounce_step(scene, bvh, dist, cfg: IntegratorConfig, carry, step,
         # matching statpath.cpp:823-827 which re-spawns before any
         # sampler call); all other modes use the physics step counter.
         dstep = bl if cfg.sampler_mode == crng.MODE_LOCKSTEP else step
+        # EXACT lockstep replay (core/lockstep.py EXACT mode): draws are
+        # positional reads of the raw per-tile PCG32 stream at a cursor
+        # that advances exactly as the reference's conditional sampler
+        # consumption would (consumption rules: lockstep.py docstring).
+        exact = cfg.sampler_mode == crng.MODE_LOCKSTEP_EXACT
+        if exact:
+            rows = ld_stream  # [P, L] serial stream rows (lane = tile)
+            cur0 = carry["cursor"]
+
+            def take_at(pos):
+                return jnp.take_along_axis(
+                    rows, jnp.clip(pos, 0, rows.shape[1] - 1)[:, None],
+                    axis=1)[:, 0]
 
         # Dead lanes carry t_max = 0: they cannot hit anything, and the
         # fused kernel's per-tile cull sees a whole-dead ray tile as
@@ -233,9 +246,15 @@ def _bounce_step(scene, bvh, dist, cfg: IntegratorConfig, carry, step,
         if not cfg.enable_nee:
             nee = jnp.zeros_like(nee)
 
-        u_sel = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_LIGHT_SELECT)
+        if exact:
+            # pbrt: select(1) + uLight(2) + uScattering(2), consumed
+            # only when NEE runs (statpath.cpp:846,744-752).
+            u_sel = take_at(cur0)
+            u_light = jnp.stack([take_at(cur0 + 1), take_at(cur0 + 2)], -1)
+        else:
+            u_sel = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_LIGHT_SELECT)
+            u_light = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_LIGHT_SAMPLE)
         light_id, sel_pmf = sample_light_id(dist, u_sel, hit.p)
-        u_light = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_LIGHT_SAMPLE)
         p_off_wi = hit.p  # offset applied per ray below
 
         lsamp = LT.sample_li(scene, light_id, hit.p, hit.ng, u_light)
@@ -256,8 +275,12 @@ def _bounce_step(scene, bvh, dist, cfg: IntegratorConfig, carry, step,
         contr_l = f_l * li_l / jnp.maximum(lsamp.pdf, 1e-30)[..., None]
 
         # BSDF half of EstimateDirect.
-        u_bs = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_BSDF_NEE)
-        uc_bs = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_BSDF_COMPONENT)
+        if exact:
+            u_bs = jnp.stack([take_at(cur0 + 3), take_at(cur0 + 4)], -1)
+            uc_bs = u_bs[:, 0]  # pbrt remaps uScattering.x in-place
+        else:
+            u_bs = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_BSDF_NEE)
+            uc_bs = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_BSDF_COMPONENT)
         bsmp = B.sample(m, wo_l, u_bs, uc_bs)
         wi2 = frame.to_world(bsmp.wi)
         f_b = bsmp.f * cm.absdot(wi2, hit.ns)[..., None]
@@ -355,8 +378,17 @@ def _bounce_step(scene, bvh, dist, cfg: IntegratorConfig, carry, step,
         mis_light = carry["mis_light"] + bhot * (sm * inc_lt)[:, None]
 
         # --- BSDF sampling for path continuation ------------------------
-        u_pc = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_BSDF)
-        uc_pc = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_BSDF_COMPONENT_PC)
+        if exact:
+            # NEE consumed 5 iff it ran; continuation Get2D consumed
+            # whenever the bounce shades (statpath.cpp:869, even when
+            # f==0/pdf==0 breaks right after).
+            cur1 = cur0 + 5 * nee.astype(jnp.int32)
+            u_pc = jnp.stack([take_at(cur1), take_at(cur1 + 1)], -1)
+            uc_pc = u_pc[:, 0]
+            cur2 = cur1 + 2 * shading.astype(jnp.int32)
+        else:
+            u_pc = crng.draw_2d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_BSDF)
+            uc_pc = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_BSDF_COMPONENT_PC)
         psmp = B.sample(m, wo_l, u_pc, uc_pc)
         wi_c = frame.to_world(psmp.wi)
         bsdf_beta = (
@@ -409,8 +441,17 @@ def _bounce_step(scene, bvh, dist, cfg: IntegratorConfig, carry, step,
         )
         survival = rr_beta_max * avg
         q = jnp.maximum(0.05, 1.0 - survival)
-        u_rr = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_RR)
-        do_rr = rr_here & active & (survival < cfg.rr_threshold)
+        # Null pass-throughs never reach the RR block (statpath.cpp:
+        # 823-827 `continue`s before it).
+        do_rr = rr_here & active & ~pass_through \
+            & (survival < cfg.rr_threshold)
+        if exact:
+            # pbrt's Get1D sits inside both conditionals
+            # (statpath.cpp:941-948): consumed only when do_rr.
+            u_rr = take_at(cur2)
+            cur3 = cur2 + do_rr.astype(jnp.int32)
+        else:
+            u_rr = crng.draw_1d(keys, ld_stream, cfg.sampler_mode, dstep, crng.SLOT_RR)
         killed = do_rr & (u_rr < q)
         active = active & ~killed
         betas = jnp.where(
@@ -436,6 +477,8 @@ def _bounce_step(scene, bvh, dist, cfg: IntegratorConfig, carry, step,
             normal=carry_normal, albedo=carry_albedo, n_rays=n_rays,
             path_len=path_len, cum_t=cum_t, bounce=bl_new,
         )
+        if exact:
+            new_carry["cursor"] = cur3
         return new_carry
 
 
