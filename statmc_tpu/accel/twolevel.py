@@ -67,6 +67,9 @@ MAX_TILES = 4096
 # Ray blocks per worklist chunk: bounds the [C*Rt, ntt] slab-test
 # temporaries (~8 MB at 514 tiles) while amortizing per-op overhead.
 _WL_CHUNK = 8
+# Max ray blocks per pallas launch: order+tnear are [G, ntt] SMEM
+# scalar-prefetch arrays and SMEM is ~1 MB (128 * 514 * 8 B = 526 KB).
+_G_SMEM = 128
 
 
 class TwoLevelTris(NamedTuple):
@@ -407,10 +410,22 @@ def intersect_twolevel(tl: TwoLevelTris, o, d, t_max,
     rayp_t = pad(rayp, 0.0).reshape(G, RAY_TILE, _K).transpose(0, 2, 1)
     tm_t = tm_p.reshape(G, RAY_TILE)
     if jax.default_backend() == "tpu":
-        t, idx = _intersect_pallas2(
-            tl.table, order, tnear, count,
-            raye_t, rayp_t, tm_t, any_hit=any_hit,
-        )
+        # The order/tnear worklists ride scalar-prefetch SMEM ([G, ntt]
+        # each); SMEM is ~1 MB, so fat dispatches (G > _G_SMEM blocks)
+        # launch the walk in slices.  The sort/worklist build above
+        # stays one fused pass -- only the kernel launch is sliced.
+        ts, ids = [], []
+        for g0 in range(0, G, _G_SMEM):
+            g1 = min(g0 + _G_SMEM, G)
+            tt, ii = _intersect_pallas2(
+                tl.table, order[g0:g1], tnear[g0:g1], count[g0:g1],
+                raye_t[g0:g1], rayp_t[g0:g1], tm_t[g0:g1],
+                any_hit=any_hit,
+            )
+            ts.append(tt)
+            ids.append(ii)
+        t = jnp.concatenate(ts, axis=0) if len(ts) > 1 else ts[0]
+        idx = jnp.concatenate(ids, axis=0) if len(ids) > 1 else ids[0]
         t = t.reshape(-1)[:R]
         idx = idx.reshape(-1)[:R]
     else:

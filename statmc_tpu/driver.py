@@ -360,12 +360,32 @@ def zero_stats():
 # minutes to compile; one block loop around the whole bounce scan keeps
 # the program a single level deeper regardless of resolution.
 PIXEL_BLOCK = 32768
+# Two-level scenes dispatch 4x fatter blocks: their intersector sorts
+# rays by (octant, origin Morton) and culls per 512-ray block, so a
+# larger dispatch partitions the key space finer (fewer triangle tiles
+# per block) and amortizes the per-dispatch fixed costs (sorts,
+# worklist build, kernel launch).  Measured v5e, terrain 131k tris:
+# neutral on end-to-end rays/s (the walk's tile-steps dominate either
+# way) but it removes 3/4 of the dispatch fixed costs and is the
+# enabler for block-coherence work.  Memory is safe: the worklist slab
+# tests are chunked internally and no dense [R, T] temporary exists on
+# this path.
+PIXEL_BLOCK_TWOLEVEL = 131072
 
 
-def padded_pixel_count(P: int) -> tuple[int, int, int]:
-    """(padded P, block size, n_blocks) for the block-looped chunk fn."""
-    B = min(P, PIXEL_BLOCK)
-    n_blocks = (P + B - 1) // B
+def padded_pixel_count(P: int, bvh=None) -> tuple[int, int, int]:
+    """(padded P, block size, n_blocks) for the block-looped chunk fn.
+
+    Blocks are sized to split P as evenly as possible (rounded up to
+    the 512-lane ray tile) so pad lanes -- which re-trace an aliased
+    pixel -- stay a sliver instead of up to a full block."""
+    cap = (PIXEL_BLOCK_TWOLEVEL
+           if type(bvh).__name__ == "TwoLevelTris" else PIXEL_BLOCK)
+    if P <= cap:
+        return P, P, 1
+    n_blocks = -(-P // cap)
+    B = -(-(-(-P // n_blocks)) // 512) * 512
+    n_blocks = -(-P // B)
     return n_blocks * B, B, n_blocks
 
 
@@ -377,7 +397,7 @@ def make_chunk_fn(setup: RenderSetup):
     """
     P = setup.width * setup.height
     sample_step = make_sample_fn(setup)
-    Pp, B, n_blocks = padded_pixel_count(P)
+    Pp, B, n_blocks = padded_pixel_count(P, setup.bvh)
     # Padded pixel ids: pad lanes alias the last real pixel for ray
     # generation but never alias its statistics (their block writes land
     # in the pad region).
@@ -460,7 +480,7 @@ def make_regen_chunk_fn(setup: RenderSetup):
     icfg, ecfg = setup.icfg, setup.ecfg
     cam, W = setup.cam, setup.width
     P = setup.width * setup.height
-    Pp, B, n_blocks = padded_pixel_count(P)
+    Pp, B, n_blocks = padded_pixel_count(P, setup.bvh)
     pixel_ids_all = jnp.minimum(jnp.arange(Pp, dtype=jnp.int32), P - 1)
     lane_valid_all = jnp.arange(Pp, dtype=jnp.int32) < P
 
@@ -641,7 +661,7 @@ class Renderer:
         else:
             # Device arrays are padded to a whole number of pixel blocks
             # (padded_pixel_count); the pad slice is write-only garbage.
-            self.Pp = padded_pixel_count(P)[0]
+            self.Pp = padded_pixel_count(P, setup.bvh)[0]
         self.reset()
 
     def reset(self):
