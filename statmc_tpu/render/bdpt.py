@@ -148,8 +148,11 @@ def _emit_sample(scene, light_id, u_pos, u_dir):
         si = jnp.maximum(scene.light_prim[light_id], 0)
         c = scene.sph_center[si]
         rad = scene.sph_radius[si]
+        p_s = c + d_sph * rad[:, None]
+        # Emission normal carries the ReverseOrientation sign.
         n_s = d_sph
-        p_s = c + n_s * rad[:, None]
+        if scene.sph_flip is not None:
+            n_s = n_s * jnp.take(scene.sph_flip, si, axis=0)[:, None]
         frame_sp = B.ShadingFrame.from_normal(n_s)
         rr = jnp.sqrt(jnp.maximum(u_pos[:, 0], 0.0))
         phi2 = 2.0 * jnp.pi * u_pos[:, 1]

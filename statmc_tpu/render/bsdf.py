@@ -71,6 +71,11 @@ class MaterialLanes(NamedTuple):
     rough_u: Any
     rough_v: Any
     sigma: Any
+    # FourierBSDF table plumbing (render/fourier.py): per-lane table
+    # index and the scene's stacked tables (None when the scene has no
+    # readable .bsdf materials -> the substrate fallback evals).
+    fourier_id: Any = None
+    fourier_tab: Any = None
 
 
 def gather_materials(scene: sb.SceneTables, mat_id: Array,
@@ -102,6 +107,11 @@ def gather_materials(scene: sb.SceneTables, mat_id: Array,
             from ..scene.textures import sample_texture
 
             kd = kd * sample_texture(scene.textures, kd_tex, uv, p, uv_fp)
+    fourier_id = None
+    fourier_tab = None
+    if scene.fourier is not None:
+        fourier_id = jnp.take(scene.mat_fourier_id, mat_id, axis=0)
+        fourier_tab = scene.fourier
     return MaterialLanes(
         mat_type=jnp.round(row[..., 0]).astype(jnp.int32),
         kd=kd,
@@ -113,6 +123,8 @@ def gather_materials(scene: sb.SceneTables, mat_id: Array,
         rough_u=row[..., 19],
         rough_v=row[..., 20],
         sigma=row[..., 21],
+        fourier_id=fourier_id,
+        fourier_tab=fourier_tab,
     )
 
 
@@ -485,6 +497,18 @@ def evaluate(m: MaterialLanes, wo: Array, wi: Array) -> tuple[Array, Array]:
     # Reflection-only lobes vanish under the surface.
     f = jnp.where(refl[..., None], f, 0.0)
     pdf = jnp.where(refl, pdf, 0.0)
+
+    # Real FourierBSDF tables override the substrate-fallback f for
+    # fourier lanes (render/fourier.py eval, reflection.cpp:322-377);
+    # the pdf stays the substrate proposal actually sampled -- unbiased
+    # MIS with a table-true f.  Applied after the refl mask because the
+    # table itself encodes sidedness (including transmission lobes).
+    if m.fourier_tab is not None:
+        from . import fourier as _fourier
+
+        fe = _fourier.eval_f(m.fourier_tab, m.fourier_id, wo, wi)
+        sel = (t == sb.MAT_FOURIER) & (m.fourier_id >= 0)
+        f = jnp.where(sel[..., None], fe, f)
 
     # Rough glass: microfacet reflection (Fresnel-weighted) +
     # microfacet transmission (materials/glass.cpp rough path).

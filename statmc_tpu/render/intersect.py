@@ -167,7 +167,12 @@ def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx,
             dens_t = jnp.sqrt(uv_area / jnp.maximum(w_area, 1e-12))
     if has_sph:
         cen = scene.sph_center[sph_idx]
-        ng_s = cm.normalize(p - cen)
+        dir_s = cm.normalize(p - cen)  # outward radial dir (drives uv)
+        # ReverseOrientation / handedness sign (core/shape.cpp:49).
+        if scene.sph_flip is not None:
+            ng_s = dir_s * scene.sph_flip[sph_idx][:, None]
+        else:
+            ng_s = dir_s
         ns_s = ng_s
         light_s = scene.sph_light[sph_idx]
         if lean:
@@ -175,8 +180,8 @@ def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx,
             mat_s = jnp.zeros((R,), jnp.int32)
             dens_s = jnp.zeros((R,))
         else:
-            phi = jnp.arctan2(ng_s[..., 1], ng_s[..., 0])
-            theta = jnp.arccos(jnp.clip(ng_s[..., 2], -1.0, 1.0))
+            phi = jnp.arctan2(dir_s[..., 1], dir_s[..., 0])
+            theta = jnp.arccos(jnp.clip(dir_s[..., 2], -1.0, 1.0))
             uv_s = jnp.stack(
                 [phi / (2 * jnp.pi) + 0.5, theta / jnp.pi], axis=-1
             )

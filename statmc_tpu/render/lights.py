@@ -156,6 +156,10 @@ def sample_li(scene: sb.SceneTables, light_id: Array, ref_p: Array,
         p_sphere = jnp.where(inside[..., None], p_in, p_sph)
         pdf_sp = jnp.where(inside, pdf_in, pdf_s)
         n_at = jnp.where(inside[..., None], u_sph, n_sph)
+        # ReverseOrientation sign: a reversed sphere emits inward
+        # (core/shape.cpp:49 normal flip applied to the sampled point).
+        if scene.sph_flip is not None:
+            n_at = n_at * jnp.take(scene.sph_flip, sid, axis=0)[..., None]
         li_s = jnp.where((cm.dot(n_at, -wi_sn) > 0)[..., None], L, 0.0)
         dist_s = cm.length(p_sphere - ref_p)
     else:

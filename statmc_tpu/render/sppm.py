@@ -146,8 +146,12 @@ def sample_le(scene, light_id, u_pos, u_dir):
         si = jnp.maximum(scene.light_prim[light_id], 0)
         c = scene.sph_center[si]
         rad = scene.sph_radius[si]
-        n_s = d_sph  # uniform sphere normal
-        p_s = c + n_s * rad[:, None]
+        p_s = c + d_sph * rad[:, None]
+        # Emission normal carries the ReverseOrientation sign (a
+        # reversed sphere light emits photons inward).
+        n_s = d_sph
+        if scene.sph_flip is not None:
+            n_s = n_s * jnp.take(scene.sph_flip, si, axis=0)[:, None]
         frame_sp = B.ShadingFrame.from_normal(n_s)
         rr = jnp.sqrt(u_pos[:, 0])
         phi2 = 2.0 * jnp.pi * u_pos[:, 1]

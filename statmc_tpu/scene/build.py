@@ -182,6 +182,14 @@ class SceneTables(NamedTuple):
     sph_med_in: Any = None  # [S]
     sph_med_out: Any = None  # [S]
     cam_medium: int = -1  # medium id camera rays start in
+    # ReverseOrientation / handedness-swap normal sign per sphere
+    # (core/shape.cpp:49: reverseOrientation ^ transformSwapsHandedness
+    # flips every normal; triangles encode it by winding swap instead).
+    sph_flip: Any = None  # [S] +1/-1
+    # FourierBSDF device tables (render/fourier.py; None when the scene
+    # has no readable .bsdf-file materials).
+    fourier: Any = None  # FourierTables
+    mat_fourier_id: Any = None  # [M] table index or -1
 
     @property
     def has_media(self):
@@ -232,6 +240,7 @@ def _material_row(md: MaterialDesc | None, textures) -> dict:
         rough_v=0.0,
         sigma=0.0,
         kd_tex_name=None,
+        fourier_file=None,
     )
     if md is None:
         row["mat_type"] = MAT_NONE
@@ -337,8 +346,12 @@ def _material_row(md: MaterialDesc | None, textures) -> dict:
         bn = scalar("beta_n", 0.3)
         row["rough_u"] = row["rough_v"] = max(bn * bn, 1e-3)
     elif mtype == MAT_FOURIER:
-        # FourierBSDF table files (materials/fourier.cpp) are not read;
-        # lanes fall back to a mid-gloss substrate-like lobe pair.
+        # The .bsdf table (materials/fourier.cpp:244 FindFilename) is
+        # read in build_scene into stacked device tables
+        # (render/fourier.py); the substrate-like lobe pair below stays
+        # as (a) the sampling proposal for fourier lanes and (b) the
+        # eval fallback when the file is missing/unreadable.
+        row["fourier_file"] = p.find_one("bsdffile")
         row["kd"] = np.array([0.5, 0.5, 0.5], np.float32)
         row["ks"] = np.array([0.3, 0.3, 0.3], np.float32)
         row["rough_u"] = row["rough_v"] = 0.05
@@ -493,7 +506,7 @@ def build_scene(desc: SceneDescription,
         return TEX_NONE
 
     tri_p, tri_n, tri_uv, tri_mat, tri_light, tri_hasn = [], [], [], [], [], []
-    sph_c, sph_r, sph_mat, sph_light = [], [], [], []
+    sph_c, sph_r, sph_mat, sph_light, sph_flip = [], [], [], [], []
     tri_med_in, tri_med_out, sph_med_in, sph_med_out = [], [], [], []
     # Medium ids by declaration order (-1 = vacuum / unknown name).
     med_names = list(desc.named_media.keys())
@@ -564,12 +577,22 @@ def build_scene(desc: SceneDescription,
                 Nw = cm.np_transform_normal(inv, N)
                 norms = np.linalg.norm(Nw, axis=-1, keepdims=True)
                 Nw = Nw / np.maximum(norms, 1e-12)
+            # ReverseOrientation ^ transformSwapsHandedness flips every
+            # normal (core/shape.cpp:49).  Triangles encode the flip by
+            # swapping winding (flips ng = e1 x e2) + negating shading
+            # normals, so no per-tri sign column is needed downstream.
+            flip = bool(sd.reverse_orientation) ^ bool(
+                np.linalg.det(o2w[:3, :3].astype(np.float64)) < 0)
+            nsgn = np.float32(-1.0 if flip else 1.0)
             start = len(tri_p)
             for f in idx:
+                if flip:
+                    f = (f[0], f[2], f[1])
                 p0, p1, p2 = Pw[f[0]], Pw[f[1]], Pw[f[2]]
                 tri_p.append((p0, p1, p2))
                 if has_n:
-                    tri_n.append((Nw[f[0]], Nw[f[1]], Nw[f[2]]))
+                    tri_n.append((nsgn * Nw[f[0]], nsgn * Nw[f[1]],
+                                  nsgn * Nw[f[2]]))
                 else:
                     tri_n.append((np.zeros(3, np.float32),) * 3)
                 if UV is not None:
@@ -603,6 +626,10 @@ def build_scene(desc: SceneDescription,
             sph_r.append(float(radius) * float(sx))
             sph_mat.append(mid)
             sph_light.append(lid)
+            sph_flip.append(-1.0 if (
+                bool(sd.reverse_orientation)
+                ^ bool(np.linalg.det(o2w[:3, :3].astype(np.float64)) < 0)
+            ) else 1.0)
             sph_med_in.append(m_in)
             sph_med_out.append(m_out)
             if lid >= 0:
@@ -859,6 +886,34 @@ def build_scene(desc: SceneDescription,
          if r.get("kd_tex_name") else -1 for r in mat_rows], np.int32)
 
     # Missing-asset report (judge-flagged: staircase/bathroom "built"
+    # FourierBSDF tables (materials/fourier.cpp:116-206): read each
+    # fourier material's .bsdf file into stacked device tables
+    # (render/fourier.py); unreadable/missing files keep the substrate
+    # fallback (mat_fourier_id -1) and join the missing-asset report.
+    fourier_tables = None
+    mat_fourier_id = np.full((len(mat_rows),), -1, np.int32)
+    if any(r.get("fourier_file") for r in mat_rows):
+        from ..render.fourier import read_bsdf, stack_tables
+
+        base_cwd = desc.shapes[0].cwd if desc.shapes else "."
+        cache: dict[str, int] = {}
+        files = []
+        for mi_, r in enumerate(mat_rows):
+            fn = r.get("fourier_file")
+            if r["mat_type"] != MAT_FOURIER or not fn:
+                continue
+            path = fn if os.path.isabs(fn) else os.path.join(base_cwd, fn)
+            if path not in cache:
+                try:
+                    files.append(read_bsdf(path))
+                    cache[path] = len(files) - 1
+                except (OSError, ValueError):
+                    missing_assets.append(path)
+                    cache[path] = -1
+            mat_fourier_id[mi_] = cache[path]
+        if files:
+            fourier_tables = stack_tables(files)
+
     # with 2 triangles when their models/ trees were not mounted).
     if missing_assets:
         uniq = sorted(set(missing_assets))
@@ -898,6 +953,9 @@ def build_scene(desc: SceneDescription,
         sph_radius=np.asarray(sph_r, np.float32),
         sph_mat=np.asarray(sph_mat, np.int32),
         sph_light=np.asarray(sph_light, np.int32),
+        sph_flip=np.asarray(sph_flip, np.float32),
+        fourier=fourier_tables,
+        mat_fourier_id=mat_fourier_id,
         mat_type=np.asarray([r["mat_type"] for r in mat_rows], np.int32),
         mat_kd=np.stack([r["kd"] for r in mat_rows]).astype(np.float32),
         mat_ks=np.stack([r["ks"] for r in mat_rows]).astype(np.float32),

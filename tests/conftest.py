@@ -44,6 +44,12 @@ assert jax.device_count() >= 8, (
 import pytest  # noqa: E402
 
 _SLOW_TESTS = {
+    "test_analytic_volpath",
+    "test_analytic_bdpt",
+    "test_analytic_bdpt_arealight",
+    "test_analytic_sppm",
+    "test_analytic_mlt",
+    "test_fourier_material_renders_like_matte",
     "test_ld_render_matches_random_mean",
     "test_scene_with_marble_kd_renders",
     "test_checkpoint_resume_bitexact",

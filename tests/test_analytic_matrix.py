@@ -1,0 +1,126 @@
+"""Analytic-scene matrix: closed-form scenes x integrators x samplers.
+
+Port of the reference's analytic-scene methodology
+(/root/reference/src/tests/analytic_scenes.cpp:53-266): unit-sphere
+interiors whose equilibrium radiance has a closed form (1.0), rendered
+through every implemented transport algorithm and sampler family, with
+the reference's film-mean tolerance delta = 0.02 (CheckSceneAverage,
+analytic_scenes.cpp:54-65).  Scene set mirrors GetScenes():
+
+  S1  matte Kd=0.5 sphere, point light I=pi at center        -> 1.0
+  S2  matte Kd=0.5 sphere, 4 point lights I=pi/4             -> 1.0
+  S3  matte Kd=0.5 sphere that itself emits Le=0.5           -> 1.0
+  S4  uber Kd=0.25 Kr=0.5 sphere, point light I=3pi          -> 1.0
+
+(The emitting sphere S3 is the regression scene for the
+ReverseOrientation normal-sign fix: a reversed sphere must emit
+inward, core/shape.cpp:49.)
+"""
+import numpy as np
+import pytest
+
+from statmc_tpu.driver import load
+
+PI = float(np.pi)
+
+_HEAD = """
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+Camera "perspective" "float fov" [90]
+Sampler "{sampler}" "integer pixelsamples" [{spp}]
+Integrator "{integrator}" "integer maxdepth" [8]
+WorldBegin
+{world}
+WorldEnd
+"""
+
+_SPHERE = """
+AttributeBegin
+  Material "matte" "rgb Kd" [0.5 0.5 0.5]
+  ReverseOrientation
+  Shape "sphere" "float radius" [1]
+AttributeEnd
+"""
+
+SCENES = {
+    "s1-point": (
+        f'LightSource "point" "rgb I" [{PI} {PI} {PI}]\n' + _SPHERE, 1.0),
+    "s2-4point": (
+        f'LightSource "point" "rgb I" [{PI/4} {PI/4} {PI/4}]\n' * 4
+        + _SPHERE, 1.0),
+    "s3-arealight": ("""
+AttributeBegin
+  Material "matte" "rgb Kd" [0.5 0.5 0.5]
+  AreaLightSource "diffuse" "rgb L" [0.5 0.5 0.5]
+  ReverseOrientation
+  Shape "sphere" "float radius" [1]
+AttributeEnd
+""", 1.0),
+    "s4-uber-kr": (f"""
+LightSource "point" "rgb I" [{3*PI} {3*PI} {3*PI}]
+AttributeBegin
+  Material "uber" "rgb Kd" [0.25 0.25 0.25] "rgb Kr" [0.5 0.5 0.5] "rgb Ks" [0 0 0]
+  ReverseOrientation
+  Shape "sphere" "float radius" [1]
+AttributeEnd
+""", 1.0),
+}
+
+DELTA = 0.02  # analytic_scenes.cpp:58
+
+
+def _mean(tmp_path, scene_key, integrator="path", sampler="random",
+          spp=64, iterations=1):
+    world, _ = SCENES[scene_key]
+    p = tmp_path / f"{scene_key}-{integrator}-{sampler}.pbrt"
+    p.write_text(_HEAD.format(world=world, integrator=integrator,
+                              sampler=sampler, spp=spp))
+    r = load(str(p))
+    r.render(iterations=iterations, verbose=False)
+    f = np.asarray(r.film_mean)
+    assert np.isfinite(f).all()
+    return float(f.mean())
+
+
+@pytest.mark.parametrize("scene_key", list(SCENES))
+def test_analytic_path(tmp_path, scene_key):
+    m = _mean(tmp_path, scene_key)
+    exp = SCENES[scene_key][1]
+    assert abs(m - exp) < DELTA, f"{scene_key}: {m:.4f} != {exp}"
+
+
+@pytest.mark.parametrize("sampler", ["lowdiscrepancy", "halton"])
+def test_analytic_path_samplers(tmp_path, sampler):
+    m = _mean(tmp_path, "s1-point", sampler=sampler)
+    assert abs(m - 1.0) < DELTA, f"{sampler}: {m:.4f}"
+
+
+def test_analytic_volpath(tmp_path):
+    m = _mean(tmp_path, "s1-point", integrator="volpath")
+    assert abs(m - 1.0) < DELTA, f"volpath: {m:.4f}"
+
+
+def test_analytic_directlighting_first_bounce(tmp_path):
+    """directlighting has no GI: the interior of S1 sees only the
+    direct term, analytically I/(pi) * Kd * pi / r^2 = 0.5."""
+    m = _mean(tmp_path, "s1-point", integrator="directlighting")
+    assert abs(m - 0.5) < DELTA, f"directlighting: {m:.4f}"
+
+
+def test_analytic_bdpt(tmp_path):
+    m = _mean(tmp_path, "s1-point", integrator="bdpt")
+    assert abs(m - 1.0) < DELTA, f"bdpt: {m:.4f}"
+
+
+def test_analytic_bdpt_arealight(tmp_path):
+    m = _mean(tmp_path, "s3-arealight", integrator="bdpt")
+    assert abs(m - 1.0) < DELTA, f"bdpt s3: {m:.4f}"
+
+
+def test_analytic_sppm(tmp_path):
+    m = _mean(tmp_path, "s1-point", integrator="sppm", spp=4, iterations=6)
+    assert abs(m - 1.0) < DELTA, f"sppm: {m:.4f}"
+
+
+def test_analytic_mlt(tmp_path):
+    m = _mean(tmp_path, "s1-point", integrator="mlt", spp=32)
+    assert abs(m - 1.0) < DELTA, f"mlt: {m:.4f}"
