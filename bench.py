@@ -65,6 +65,34 @@ def _scene_path():
     return path, "staircase-proxy"
 
 
+def _bench_terrain():
+    """Second bench line (round-2 verdict #1): a >=100k-triangle scene
+    through the two-level worklist traversal (accel/twolevel.py), the
+    path that replaces the reference's full BVH walk at scale
+    (/root/reference/src/accelerators/bvh.cpp:707+)."""
+    from statmc_tpu.driver import load
+    from statmc_tpu.testscenes import terrain_scene_text
+
+    text = terrain_scene_text(width=WIDTH, height=HEIGHT, spp=4,
+                              iterations=1, maxdepth=8)
+    tmp = tempfile.mkdtemp()
+    path = tmp + "/terrain-proxy.pbrt"
+    with open(path, "w") as f:
+        f.write(text)
+    r = load(path)
+    n_tris = getattr(r.s.bvh, "n_tris", 0)
+    r.render(iterations=1, verbose=False)   # warm-up / compile
+    r.reset()
+    log = r.render(iterations=1, verbose=False)[0]
+    rays_per_s = log["rays_total"] / log["render_s"]
+    return {
+        "terrain_131k_rays_per_s": round(rays_per_s, 1),
+        "terrain_tris": int(n_tris),
+        "terrain_render_s": round(log["render_s"], 3),
+        "terrain_vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
+    }
+
+
 def main():
     from statmc_tpu.driver import load
 
@@ -106,6 +134,11 @@ def main():
         "finite_film": ok,
         "backend": jax.default_backend(),
     }
+    del r  # release film/device buffers before the terrain scene compiles
+    try:
+        result.update(_bench_terrain())
+    except Exception as e:  # the headline line must survive a terrain failure
+        result["terrain_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))
     return 0 if ok else 1
 

@@ -279,7 +279,7 @@ def run_x3(table32, order, tnear, count, ray32, t_max):
 
 ref = None
 import sys
-for mode in ["full", "x6"]:
+for mode in ["full", "x3"]:
     print(f"starting {mode}", file=sys.stderr, flush=True)
     if mode == "x6":
         table64 = build_x6_table(tl.table)

@@ -76,12 +76,17 @@ class MaterialLanes(NamedTuple):
     # readable .bsdf materials -> the substrate fallback evals).
     fourier_id: Any = None
     fourier_tab: Any = None
+    # Marschner hair plumbing (render/hair.py): per-lane width offset
+    # h = -1 + 2*v (hair.cpp:221).  None when the scene has no hair
+    # materials -- a static gate that elides the hair model entirely.
+    hair_h: Any = None
 
 
 def gather_materials(scene: sb.SceneTables, mat_id: Array,
                      uv: Array | None = None,
                      p: Array | None = None,
-                     uv_fp: Array | None = None) -> MaterialLanes:
+                     uv_fp: Array | None = None,
+                     uv_axes: Array | None = None) -> MaterialLanes:
     # One packed [M, 24] row gather instead of 11 per-table gathers: TPU
     # gathers cost per row, not per element (render/intersect.py
     # _assemble_hit rationale); the concatenate is a tiny copy CSE'd
@@ -106,12 +111,19 @@ def gather_materials(scene: sb.SceneTables, mat_id: Array,
         if _scene_has_textures(scene):
             from ..scene.textures import sample_texture
 
-            kd = kd * sample_texture(scene.textures, kd_tex, uv, p, uv_fp)
+            kd = kd * sample_texture(scene.textures, kd_tex, uv, p, uv_fp,
+                                     uv_axes=uv_axes)
     fourier_id = None
     fourier_tab = None
     if scene.fourier is not None:
         fourier_id = jnp.take(scene.mat_fourier_id, mat_id, axis=0)
         fourier_tab = scene.fourier
+    hair_h = None
+    if uv is not None and _scene_has_hair(scene):
+        # Ribbon v coordinate spans the curve width (scene/tessellate.py
+        # curve(): v in {0,1} across the strip) -> h in [-1,1]
+        # (hair.cpp:221).
+        hair_h = jnp.clip(-1.0 + 2.0 * uv[..., 1], -0.999, 0.999)
     return MaterialLanes(
         mat_type=jnp.round(row[..., 0]).astype(jnp.int32),
         kd=kd,
@@ -125,6 +137,21 @@ def gather_materials(scene: sb.SceneTables, mat_id: Array,
         sigma=row[..., 21],
         fourier_id=fourier_id,
         fourier_tab=fourier_tab,
+        hair_h=hair_h,
+    )
+
+
+_scene_has_hair = sb.scene_has_hair
+
+
+def _hair_lanes(m: MaterialLanes):
+    """MaterialLanes slots -> HairLanes (slot mapping documented at
+    scene/build.py MAT_HAIR)."""
+    from . import hair as _hair
+
+    return _hair.HairLanes(
+        h=m.hair_h, eta=m.eta[..., 0], sigma_a=m.kt,
+        beta_m=m.sigma, beta_n=m.rough_u, alpha=m.rough_v,
     )
 
 
@@ -510,6 +537,19 @@ def evaluate(m: MaterialLanes, wo: Array, wi: Array) -> tuple[Array, Array]:
         sel = (t == sb.MAT_FOURIER) & (m.fourier_id >= 0)
         f = jnp.where(sel[..., None], fe, f)
 
+    # Full Marschner hair (render/hair.py) overrides the fallback lobe
+    # pair when the scene has hair materials.  Applied after the refl
+    # mask: hair scatters into the full sphere (TT/TRT transmit through
+    # the fiber), and both f and pdf come from the model
+    # (hair.cpp:418-480, 602-664).
+    if m.hair_h is not None:
+        from . import hair as _hair
+
+        hl = _hair_lanes(m)
+        sel = t == sb.MAT_HAIR
+        f = jnp.where(sel[..., None], _hair.eval_f(hl, wo, wi), f)
+        pdf = jnp.where(sel, _hair.pdf(hl, wo, wi), pdf)
+
     # Rough glass: microfacet reflection (Fresnel-weighted) +
     # microfacet transmission (materials/glass.cpp rough path).
     rough_glass = (t == sb.MAT_GLASS) & (m.rough_u >= 1e-4)
@@ -575,9 +615,13 @@ def sample(m: MaterialLanes, wo: Array, u2: Array, uc: Array) -> BSDFSample:
     two_lobe = (
         (t == sb.MAT_PLASTIC) | (t == sb.MAT_UBER)
         | (t == sb.MAT_SUBSTRATE) | (t == sb.MAT_DISNEY)
-        | (t == sb.MAT_HAIR) | (t == sb.MAT_FOURIER)
+        | (t == sb.MAT_FOURIER)
         | (t == sb.MAT_KDSUBSURFACE) | (t == sb.MAT_SUBSURFACE)
     )
+    # Hair samples its own Marschner lobes when the scene has hair;
+    # without the static gate it keeps the legacy two-lobe proposal.
+    if m.hair_h is None:
+        two_lobe = two_lobe | (t == sb.MAT_HAIR)
     metal = t == sb.MAT_METAL
     mirror = t == sb.MAT_MIRROR
     glass = (t == sb.MAT_GLASS) & (m.rough_u < 1e-4)
@@ -606,6 +650,11 @@ def sample(m: MaterialLanes, wo: Array, u2: Array, uc: Array) -> BSDFSample:
     wi = jnp.where(choose_mf_refr[..., None], wi_mf_refr, wi)
     wi = jnp.where(choose_refl[..., None], wi_spec, wi)
     wi = jnp.where(choose_refr[..., None], wi_refr, wi)
+    if m.hair_h is not None:
+        from . import hair as _hair
+
+        wi_hair = _hair.sample_wi(_hair_lanes(m), wo, u2, uc)
+        wi = jnp.where((t == sb.MAT_HAIR)[..., None], wi_hair, wi)
 
     f_eval, pdf_eval = evaluate(m, wo, wi)
 

@@ -209,17 +209,30 @@ def _bounce_step(scene, bvh, dist, cfg: IntegratorConfig, carry, step,
         shading = found & (bl < cfg.max_depth)
         cum_t = carry["cum_t"] + jnp.where(found, hit.t, 0.0)
         cone_w = cfg.cone0 + cfg.cone_spread * cum_t
-        m = B.gather_materials(scene, hit.mat_id, hit.uv, hit.p,
-                               uv_fp=cone_w * hit.uv_density)
+        m = B.gather_materials(
+            scene, hit.mat_id, hit.uv, hit.p,
+            uv_fp=cone_w * hit.uv_density,
+            uv_axes=(hit.uv_axes * cone_w[..., None, None]
+                     if hit.uv_axes is not None else None))
         null_mat = m.mat_type == sb.MAT_NONE
         # Null materials pass through without counting the bounce
         # (statpath.cpp:823-827 re-spawns with bounces--): the per-lane
         # counter bl is simply not advanced below.
         shading = shading & ~null_mat
 
-        frame = B.ShadingFrame.from_normal(
-            jnp.where(jnp.any(hit.ns != 0, -1, keepdims=True), hit.ns,
-                      jnp.array([0.0, 0.0, 1.0])))
+        ns_safe = jnp.where(jnp.any(hit.ns != 0, -1, keepdims=True), hit.ns,
+                            jnp.array([0.0, 0.0, 1.0]))
+        frame = B.ShadingFrame.from_normal(ns_safe)
+        if hit.tangent is not None:
+            # Hair scenes: pbrt's BSDF frame uses dpdu as the local x
+            # axis (ss, core/reflection.h BSDF ctor) -- the Marschner
+            # model measures its longitudinal angle against the curve
+            # axis, so the frame must carry the true tangent.
+            t_proj = hit.tangent - cm.dot(hit.tangent, ns_safe)[..., None] \
+                * ns_safe
+            ok = (jnp.sum(t_proj * t_proj, -1, keepdims=True) > 1e-12)
+            t_x = cm.normalize(jnp.where(ok, t_proj, frame.t))
+            frame = B.ShadingFrame(t_x, jnp.cross(ns_safe, t_x), ns_safe)
         wo_world = -d
         wo_l = frame.to_local(wo_world)
 

@@ -42,6 +42,14 @@ class Hit(NamedTuple):
     mat_id: Any  # [R]
     light_id: Any  # [R] area-light id or -1
     uv_density: Any  # [R] sqrt(uv area / world area): ray-cone LOD factor
+    # dpdu tangent [R,3], only materialized for scenes with hair
+    # materials (the Marschner frame needs the curve axis,
+    # hair.cpp:420 wo.x convention); None otherwise -- a static gate.
+    tangent: Any = None
+    # [R,2,2] anisotropic uv footprint axes per unit ray-cone width
+    # (major, minor), only for scenes with image textures (EWA path,
+    # scene/textures.py:_ewa_lookup); None otherwise.
+    uv_axes: Any = None
 
     @property
     def found(self):
@@ -102,6 +110,13 @@ def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx,
     R = o.shape[0]
     tri_idx = jnp.where(kind == PRIM_TRI, idx, 0)
     sph_idx = jnp.where(kind == PRIM_SPH, idx, 0)
+    from ..scene.build import scene_has_hair
+    from ..scene.textures import has_image_textures
+
+    want_tangent = (not lean) and scene_has_hair(scene)
+    want_axes = (not lean) and has_image_textures(scene.textures)
+    tangent = None
+    uv_axes = None
 
     p = o + t_best[:, None] * d
 
@@ -165,6 +180,51 @@ def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx,
             )
             w_area = cm.length(jnp.cross(e1, e2))
             dens_t = jnp.sqrt(uv_area / jnp.maximum(w_area, 1e-12))
+            if want_tangent:
+                # dpdu from the uv parameterization (triangle.cpp:309
+                # partial-derivative solve): the Marschner hair frame
+                # needs the curve axis (u varies along the ribbon
+                # length, scene/tessellate.py curve()).
+                duv1, duv2 = uv1 - uv0, uv2 - uv0
+                det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+                inv_uv = jnp.where(jnp.abs(det_uv) > 1e-12,
+                                   1.0 / det_uv, 0.0)[:, None]
+                tan_t = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv_uv
+                degen = jnp.sum(tan_t * tan_t, -1, keepdims=True) < 1e-16
+                tan_t = cm.normalize(jnp.where(degen, e1, tan_t))
+            if want_axes:
+                # Anisotropic uv footprint per unit ray-cone width
+                # (mipmap.h:Lookup dst0/dst1 stand-in): the cone's disc
+                # projects onto the surface as an ellipse whose major
+                # axis follows the view direction stretched by 1/cos.
+                if not want_tangent:
+                    duv1, duv2 = uv1 - uv0, uv2 - uv0
+
+                def world_to_uv(wv):
+                    # Solve wv = s*e1 + t*e2 (in-plane least squares)
+                    # -> uv displacement s*duv1 + t*duv2.
+                    g11 = jnp.sum(e1 * e1, -1)
+                    g12 = jnp.sum(e1 * e2, -1)
+                    g22 = jnp.sum(e2 * e2, -1)
+                    b1 = jnp.sum(wv * e1, -1)
+                    b2 = jnp.sum(wv * e2, -1)
+                    det = g11 * g22 - g12 * g12
+                    inv = jnp.where(jnp.abs(det) > 1e-20, 1.0 / det, 0.0)
+                    s_ = (g22 * b1 - g12 * b2) * inv
+                    t_ = (g11 * b2 - g12 * b1) * inv
+                    return s_[:, None] * duv1 + t_[:, None] * duv2
+
+                cos_v = jnp.abs(jnp.sum(d * ng_t, -1))
+                proj = d - jnp.sum(d * ng_t, -1, keepdims=True) * ng_t
+                plen = jnp.linalg.norm(proj, axis=-1, keepdims=True)
+                mhat = jnp.where(plen > 1e-6, proj / jnp.maximum(plen, 1e-12),
+                                 cm.normalize(e1))
+                stretch = 1.0 / jnp.maximum(cos_v, 0.05)
+                minor_w = jnp.cross(ng_t, mhat)
+                axes_t = jnp.stack([
+                    world_to_uv(mhat) * stretch[:, None],
+                    world_to_uv(minor_w),
+                ], axis=1)  # [R, 2, 2]
     if has_sph:
         cen = scene.sph_center[sph_idx]
         dir_s = cm.normalize(p - cen)  # outward radial dir (drives uv)
@@ -198,8 +258,22 @@ def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx,
         mat = jnp.where(kind == PRIM_TRI, mat_t, mat_s)
         light = jnp.where(kind == PRIM_TRI, light_t, light_s)
         dens = jnp.where(kind == PRIM_TRI, dens_t, dens_s)
+        if want_tangent:
+            # Sphere dpdu = d(phi) direction; hair only rides triangles
+            # so the zenith-tangent fallback is fine for spheres.
+            tangent = jnp.where(is_t, tan_t, jnp.stack(
+                [-dir_s[..., 1], dir_s[..., 0],
+                 jnp.zeros_like(dir_s[..., 0])], -1))
+        if want_axes:
+            # Spheres fall back to an isotropic footprint of uv_density.
+            iso = dens_s[:, None, None] * jnp.eye(2)
+            uv_axes = jnp.where(is_t[:, None, None], axes_t, iso)
     elif has_tris:
         ng, ns, uv, mat, light, dens = ng_t, ns_t, uv_t, mat_t, light_t, dens_t
+        if want_tangent:
+            tangent = tan_t
+        if want_axes:
+            uv_axes = axes_t
     elif has_sph:
         ng, ns, uv, mat, light, dens = ng_s, ns_s, uv_s, mat_s, light_s, dens_s
     else:
@@ -221,6 +295,8 @@ def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx,
         mat_id=jnp.where(miss, 0, mat),
         light_id=jnp.where(miss, -1, light),
         uv_density=jnp.where(miss, 0.0, dens),
+        tangent=tangent,
+        uv_axes=uv_axes,
     )
 
 

@@ -52,6 +52,19 @@ MAT_FOURIER = 11
 MAT_KDSUBSURFACE = 12
 MAT_SUBSURFACE = 13
 
+
+def scene_has_hair(scene) -> bool:
+    """Static check (scene tables are concrete at trace time): does any
+    material row use the Marschner hair model (render/hair.py)?  Gates
+    the dpdu tangent gather and the hair lobe evaluation so hairless
+    scenes never trace them."""
+    try:
+        import numpy as _np
+
+        return bool(_np.any(_np.asarray(scene.mat_type) == MAT_HAIR))
+    except Exception:  # traced scene: keep the hair path
+        return True
+
 _MAT_ENUM = {
     "none": MAT_NONE,
     "": MAT_NONE,
@@ -327,24 +340,37 @@ def _material_row(md: MaterialDesc | None, textures) -> dict:
             # Disney roughness is perceptual: alpha = roughness^2.
             row["rough_u"] = row["rough_v"] = max(rough * rough, 1e-3)
     elif mtype == MAT_HAIR:
-        # materials/hair.cpp: sigma_a / color / eumelanin concentration.
-        # The full Marschner azimuthal/longitudinal model (hair.cpp:
-        # HairBSDF) is approximated by a diffuse+glossy lobe pair whose
-        # color comes from the absorption coefficient; beta_n drives the
-        # gloss width.
+        # materials/hair.cpp:160-230 parameter priority: sigma_a >
+        # color (SigmaAFromReflectance) > eumelanin/pheomelanin
+        # concentrations.  The full Marschner model (render/hair.py)
+        # reads its parameters from repurposed material slots: kt =
+        # sigma_a, sigma = beta_m, rough_u = beta_n, rough_v = alpha
+        # (degrees); kd keeps an approximate reflectance for the
+        # G-buffer albedo feature.
+        from ..render import hair as hair_mod
+
+        bm = scalar("beta_m", 0.3)
+        bn = scalar("beta_n", 0.3)
         sig = p.find_spectrum("sigma_a")
         col = p.find_spectrum("color")
-        if col is None and sig is not None:
-            col = np.exp(-np.asarray(sig, np.float32) * 0.6)
+        if sig is None:
+            if col is not None:
+                sig = np.asarray(hair_mod.sigma_a_from_reflectance(
+                    np.asarray(col, np.float32), bn), np.float32)
+            else:
+                eum = scalar("eumelanin", 1.3)
+                pheo = scalar("pheomelanin", 0.0)
+                sig = np.asarray(hair_mod.sigma_a_from_concentration(
+                    eum, pheo), np.float32)
+        sig = np.asarray(sig, np.float32).reshape(3)
         if col is None:
-            eum = scalar("eumelanin", 1.3)
-            # pbrt HairBSDF::SigmaAFromConcentration eumelanin row.
-            sig = eum * np.array([0.419, 0.697, 1.37], np.float32)
             col = np.exp(-sig * 1.5)
         row["kd"] = np.asarray(col, np.float32)
-        row["ks"] = 0.2 * np.ones(3, np.float32)
-        bn = scalar("beta_n", 0.3)
-        row["rough_u"] = row["rough_v"] = max(bn * bn, 1e-3)
+        row["kt"] = sig
+        row["eta"] = np.full(3, scalar("eta", 1.55), np.float32)
+        row["sigma"] = float(np.clip(bm, 1e-3, 1.0))
+        row["rough_u"] = float(np.clip(bn, 1e-3, 1.0))
+        row["rough_v"] = scalar("alpha", 2.0)
     elif mtype == MAT_FOURIER:
         # The .bsdf table (materials/fourier.cpp:244 FindFilename) is
         # read in build_scene into stacked device tables

@@ -414,32 +414,94 @@ def _bilinear_level(table: TextureTable, tid, uvs, level):
     )
 
 
-def _base_value(table: TextureTable, tid, kind, uvs, p, uv_fp=None):
+EWA_TAPS = 8       # taps along the major axis
+EWA_MAX_ANISO = 8  # mipmap.h MaxAnisotropy default
+
+
+def has_image_textures(table: TextureTable) -> bool:
+    """Static check: any image rows?  Gates the per-hit anisotropic
+    footprint computation (render/intersect.py want_axes)."""
+    try:
+        return bool(np.any(np.asarray(table.tex_kind) == KIND_IMAGE))
+    except Exception:  # traced table: keep the path
+        return True
+
+
+def _trilinear(table: TextureTable, tid, uvs, minor):
+    """Two-level mip blend at footprint `minor` (uv units)."""
+    w = table.tex_width[tid]
+    h = table.tex_height[tid]
+    res = jnp.maximum(w, h).astype(jnp.float32)
+    lod = jnp.log2(jnp.maximum(minor * res, 1e-6))
+    lod = jnp.clip(lod, 0.0,
+                   (table.tex_n_mips[tid] - 1).astype(jnp.float32))
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, table.tex_n_mips[tid] - 1)
+    fl = (lod - l0.astype(jnp.float32))[..., None]
+    return (1.0 - fl) * _bilinear_level(table, tid, uvs, l0) \
+        + fl * _bilinear_level(table, tid, uvs, l1)
+
+
+def _ewa_lookup(table: TextureTable, tid, uvs, duv_major, duv_minor):
+    """Anisotropic footprint filtering (core/mipmap.h:EWA equivalent).
+
+    TPU shape: pbrt walks every texel in the ellipse's bounding box with
+    a per-texel Gaussian weight -- a data-dependent loop.  Here the
+    ellipse is integrated by EWA_TAPS Gaussian-weighted TRILINEAR taps
+    spaced along the major axis, each filtered at the minor-axis width
+    (the hardware-style anisotropic filter).  Equal quality on the
+    grazing-checker test, and the cost is statically bounded at
+    EWA_TAPS x 8 gathers/lane.
+
+    duv_major/duv_minor: [R,2] uv-space footprint axes (pbrt's
+    dst0/dst1 after the swap at mipmap.h:Lookup).
+    """
+    maj = jnp.linalg.norm(duv_major, axis=-1)
+    mino = jnp.linalg.norm(duv_minor, axis=-1)
+    swap = mino > maj
+    maj2 = jnp.where(swap, mino, maj)
+    min2 = jnp.where(swap, maj, mino)
+    dmaj = jnp.where(swap[..., None], duv_minor, duv_major)
+    # Eccentricity clamp (mipmap.h: if minor*maxAniso < major, scale
+    # minor up -> blurs rather than aliases past the anisotropy cap).
+    min2 = jnp.maximum(min2, maj2 / EWA_MAX_ANISO)
+    # Gaussian-spaced tap offsets in [-1, 1] along the major axis.
+    ts = (jnp.arange(EWA_TAPS, dtype=jnp.float32) + 0.5) / EWA_TAPS * 2.0 - 1.0
+    wts = jnp.exp(-2.0 * ts * ts)  # alpha=2 Gaussian (mipmap.h:EWA)
+    wts = wts / wts.sum()
+    out = 0.0
+    for k in range(EWA_TAPS):
+        uv_k = uvs + dmaj * ts[k]
+        out = out + wts[k] * _trilinear(table, tid, uv_k, min2)
+    return out
+
+
+def _base_value(table: TextureTable, tid, kind, uvs, p, uv_fp=None,
+                uv_axes=None):
     """Evaluate all non-combinator kinds for every lane, select by kind.
 
     uv_fp: optional [R] uv-space footprint (ray-cone width) driving the
-    trilinear mip blend (core/mipmap.h:Lookup width path)."""
+    trilinear mip blend (core/mipmap.h:Lookup width path).
+    uv_axes: optional [R,2,2] anisotropic footprint (major/minor uv
+    axes); when given, image lanes use the EWA-equivalent path."""
     w = table.tex_width[tid]
     h = table.tex_height[tid]
     par = table.tex_par[tid]
     octaves = par[..., 0]
     omega = par[..., 1]
 
-    if uv_fp is None:
+    if uv_axes is not None:
+        # EWA-equivalent anisotropic path; the axes already include the
+        # uvscale factor applied by the caller.
+        img = _ewa_lookup(table, tid, uvs, uv_axes[..., 0, :],
+                          uv_axes[..., 1, :])
+    elif uv_fp is None:
         img = _bilinear_level(table, tid, uvs,
                               jnp.zeros_like(tid, dtype=jnp.int32))
     else:
         # mipmap.h: level = nLevels-1 + log2(max(width, eps)); trilinear
         # blend of the two bracketing levels.
-        res = jnp.maximum(w, h).astype(jnp.float32)
-        lod = jnp.log2(jnp.maximum(uv_fp * res, 1e-6))
-        lod = jnp.clip(lod, 0.0,
-                       (table.tex_n_mips[tid] - 1).astype(jnp.float32))
-        l0 = jnp.floor(lod).astype(jnp.int32)
-        l1 = jnp.minimum(l0 + 1, table.tex_n_mips[tid] - 1)
-        fl = (lod - l0.astype(jnp.float32))[..., None]
-        img = (1.0 - fl) * _bilinear_level(table, tid, uvs, l0) \
-            + fl * _bilinear_level(table, tid, uvs, l1)
+        img = _trilinear(table, tid, uvs, uv_fp)
 
     # Checkerboard (textures/checkerboard.cpp 2D mode).
     cu = jnp.floor(uvs[..., 0]).astype(jnp.int32)
@@ -500,11 +562,12 @@ def _base_value(table: TextureTable, tid, kind, uvs, p, uv_fp=None):
 
 
 def sample_texture(table: TextureTable, tex_id: Array, uv: Array,
-                   p: Array | None = None, uv_fp: Array | None = None
-                   ) -> Array:
+                   p: Array | None = None, uv_fp: Array | None = None,
+                   uv_axes: Array | None = None) -> Array:
     """Texture sample per lane: tex_id [R] (>=0), uv [R,2], p [R,3]
     world position for 3-D noise textures, uv_fp [R] ray-cone footprint
-    in uv units for the mip blend.
+    in uv units for the mip blend, uv_axes [R,2,2] optional anisotropic
+    footprint (major/minor uv axes) enabling the EWA-equivalent filter.
 
     Lanes with tex_id < 0 return 1.0 (callers multiply by a base color).
     """
@@ -513,7 +576,9 @@ def sample_texture(table: TextureTable, tex_id: Array, uv: Array,
     tid = jnp.maximum(tex_id, 0)
     kind = table.tex_kind[tid]
     uvs = uv * table.tex_uvscale[tid]
-    out = _base_value(table, tid, kind, uvs, p, uv_fp)
+    axes_tid = (uv_axes * table.tex_uvscale[tid][..., None, :]
+                if uv_axes is not None else None)
+    out = _base_value(table, tid, kind, uvs, p, uv_fp, axes_tid)
 
     if table.has_children:
         # One combinator level: scale / mix evaluate their children
@@ -524,8 +589,12 @@ def sample_texture(table: TextureTable, tex_id: Array, uv: Array,
         k1 = table.tex_kind[c1]
         uv0 = uv * table.tex_uvscale[c0]
         uv1 = uv * table.tex_uvscale[c1]
-        v0 = _base_value(table, c0, k0, uv0, p, uv_fp)
-        v1 = _base_value(table, c1, k1, uv1, p, uv_fp)
+        ax0 = (uv_axes * table.tex_uvscale[c0][..., None, :]
+               if uv_axes is not None else None)
+        ax1 = (uv_axes * table.tex_uvscale[c1][..., None, :]
+               if uv_axes is not None else None)
+        v0 = _base_value(table, c0, k0, uv0, p, uv_fp, ax0)
+        v1 = _base_value(table, c1, k1, uv1, p, uv_fp, ax1)
         has0 = table.tex_child[tid][..., 0] >= 0
         has1 = table.tex_child[tid][..., 1] >= 0
         v0 = jnp.where(has0[..., None], v0, table.tex_p0[tid])

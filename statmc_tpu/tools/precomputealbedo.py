@@ -2,14 +2,22 @@
 
 CLI counterpart of the reference's standalone precomputealbedo
 executable (src/statistics/luts/precomputealbedo/): Monte Carlo
-precomputation of directional-albedo tables with the same self-test
-modes: --comparetopbrt (here: --compare, LUT vs fresh MC at off-grid
-parameters, threshold 0.05 as in precomputealbedo/main.cpp:50-52),
---testlut (interpolation round trip), --benchmark (lookup throughput).
+precomputation of directional-albedo tables over the reference's full
+family/axis grids (main.cpp:78-128; 9 precomputed families — the
+reference excludes disney/fourier/kdsubsurface/subsurface as unbounded,
+main.cpp:339-344) with the same self-test modes:
 
-Usage: python -m statmc_tpu.tools.precomputealbedo --family matte
-       [--sizes 16 16] [--samples 1024] [--out matte_lut.npz]
+  --compare    LUT interpolation vs fresh MC at random OFF-GRID
+               parameters, threshold 0.05 (main.cpp:50 LutCheckThreshold)
+  --testlut    interpolation round trip at grid points
+  --benchmark  lookup throughput vs direct MC rho() cost
+
+Usage: python -m statmc_tpu.tools.precomputealbedo --family metal
+       [--sizes 8 8 8 8 8] [--samples 1024] [--out metal_lut.npz]
        [--compare] [--testlut] [--benchmark]
+
+Legacy 2-D curves (--family with --sizes N M) remain available through
+render/albedo_lut.precompute_family; the N-D path is the default.
 """
 from __future__ import annotations
 
@@ -21,11 +29,17 @@ import numpy as np
 
 
 def main(argv=None):
+    from statmc_tpu.render.albedo_lut import FAMILY_AXES
+
     ap = argparse.ArgumentParser(prog="precomputealbedo")
     ap.add_argument("--family", default="matte",
-                    choices=["matte", "metal", "substrate", "plastic"])
-    ap.add_argument("--sizes", type=int, nargs=2, default=[16, 16])
+                    choices=sorted(FAMILY_AXES.keys()))
+    ap.add_argument("--sizes", type=int, nargs="*", default=None,
+                    help="per-dimension table sizes (default 8/dim, "
+                         "uber 4/dim)")
     ap.add_argument("--samples", type=int, default=1024)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="RNG seed offset (main.cpp --seedoffset)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--compare", action="store_true")
     ap.add_argument("--testlut", action="store_true")
@@ -36,32 +50,33 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from statmc_tpu.render.albedo_lut import (
-        LookupTable, precompute_family, _mc_albedo,
+        mc_albedo_at, precompute_family_nd,
     )
 
+    n_dims = len(FAMILY_AXES[args.family])
+    sizes = tuple(args.sizes) if args.sizes else None
     t0 = time.time()
-    lut = precompute_family(
-        args.family, tuple(args.sizes), n_samples=args.samples
-    )
-    print(f"precomputed {args.family} LUT {args.sizes} "
-          f"({args.samples} samples/texel) in {time.time() - t0:.1f}s")
+    lut = precompute_family_nd(
+        args.family, sizes, n_samples=args.samples, seed=args.seed)
+    print(f"precomputed {args.family} LUT {lut.sizes} ({n_dims}-D, "
+          f"{args.samples} samples/texel) in {time.time() - t0:.1f}s")
 
     if args.out:
-        np.savez(args.out, data=np.asarray(lut.data), sizes=lut.sizes)
+        np.savez(args.out, data=np.asarray(lut.data), sizes=lut.sizes,
+                 family=args.family)
         print(f"wrote {args.out}")
 
     rc = 0
     if args.compare:
-        # Fresh MC at off-grid parameters vs interpolated LUT.
-        from statmc_tpu.render.albedo_lut import precompute_family as _pf
-        rng = np.random.default_rng(1)
-        coords = jnp.asarray(rng.random((64, 2)), jnp.float32)
+        # Fresh MC at random off-grid parameters vs interpolated LUT
+        # (main.cpp --testlut semantics: randomized parameters, warn
+        # past LutCheckThreshold=0.05).
+        rng = np.random.default_rng(1 + args.seed)
+        coords = jnp.asarray(rng.random((64, n_dims)), jnp.float32)
         interp = np.asarray(lut.lookup(coords))
-        fine = precompute_family(
-            args.family, (128, 128), n_samples=max(args.samples, 2048),
-            seed=7,
-        )
-        truth = np.asarray(fine.lookup(coords))
+        truth = np.asarray(mc_albedo_at(
+            args.family, coords, n_samples=max(args.samples, 4096),
+            seed=args.seed + 7))
         err = np.abs(interp - truth)
         print(f"compare: max err {err.max():.4f} mean {err.mean():.4f} "
               f"(threshold 0.05)")
@@ -69,12 +84,11 @@ def main(argv=None):
             rc = 1
     if args.testlut:
         # Interpolation at grid points reproduces stored values.
-        n0, n1 = lut.sizes
-        g0 = (np.arange(n0) + 0.5) / n0  # off by half texel: use exact
-        c = jnp.asarray(
-            np.stack(np.meshgrid(
-                np.linspace(0, 1, n0), np.linspace(0, 1, n1),
-                indexing="ij"), -1).reshape(-1, 2), jnp.float32)
+        grids = [np.linspace(0, 1, s) if s > 1 else np.array([0.0])
+                 for s in lut.sizes]
+        mesh = np.meshgrid(*grids, indexing="ij")
+        c = jnp.asarray(np.stack([m.reshape(-1) for m in mesh], -1),
+                        jnp.float32)
         vals = np.asarray(lut.lookup(c))
         stored = np.asarray(lut.data)
         ok = np.allclose(vals, stored, atol=1e-5)
@@ -83,7 +97,7 @@ def main(argv=None):
             rc = 1
     if args.benchmark:
         rng = np.random.default_rng(2)
-        coords = jnp.asarray(rng.random((1 << 20, 2)), jnp.float32)
+        coords = jnp.asarray(rng.random((1 << 20, n_dims)), jnp.float32)
         f = jax.jit(lut.lookup)
         jax.block_until_ready(f(coords))
         t0 = time.time()
@@ -92,6 +106,16 @@ def main(argv=None):
         jax.block_until_ready(out)
         dt = (time.time() - t0) / 10
         print(f"benchmark: {coords.shape[0] / dt / 1e6:.1f} M lookups/s")
+        # Direct-MC comparison point (the reference reports ~100x;
+        # precomputealbedo/README "about two magnitudes").
+        small = coords[: 1 << 12]
+        g = jax.jit(lambda c: mc_albedo_at(args.family, c, n_samples=64))
+        jax.block_until_ready(g(small))
+        t0 = time.time()
+        jax.block_until_ready(g(small))
+        dt_mc = time.time() - t0
+        print(f"benchmark: direct MC {small.shape[0] / dt_mc / 1e6:.3f} "
+              f"M rho()/s (64 spp)")
     return rc
 
 

@@ -74,3 +74,60 @@ def test_material_curves_scene():
     np.testing.assert_allclose(
         np.asarray(alb[0]), [0.25, 0.5, 0.75], atol=0.03
     )
+
+
+# --- full N-D family tables (round-2 verdict #7) ------------------------
+
+
+def test_family_axes_match_reference_grids():
+    """Axis inventory mirrors precomputealbedo/main.cpp:78-128: 9
+    precomputed families with the reference's dimensionalities."""
+    from statmc_tpu.render.albedo_lut import FAMILY_AXES
+
+    dims = {f: len(a) for f, a in FAMILY_AXES.items()}
+    assert dims == {"matte": 2, "mirror": 2, "hair": 4, "plastic": 4,
+                    "metal": 5, "substrate": 5, "translucent": 6,
+                    "glass": 6, "uber": 8}
+    for axes in FAMILY_AXES.values():
+        assert axes[0][0] == "cos_theta"
+
+
+def test_mirror_family_exact():
+    """Mirror albedo is exactly Kr (delta lobe): LUT linear in axis 1."""
+    from statmc_tpu.render.albedo_lut import precompute_family_nd
+
+    lut = precompute_family_nd("mirror", (3, 5), n_samples=16)
+    vals = np.asarray(lut.data).reshape(3, 5)
+    np.testing.assert_allclose(vals[0], np.linspace(0, 1, 5), atol=1e-5)
+
+
+def test_plastic_family_offgrid_compare():
+    """--compare criterion on a mid-size plastic table: interpolated
+    LUT within 0.05 + MC noise of fresh MC at off-grid params
+    (main.cpp:50 LutCheckThreshold)."""
+    import jax.numpy as jnp
+
+    from statmc_tpu.render.albedo_lut import (
+        mc_albedo_at, precompute_family_nd,
+    )
+
+    lut = precompute_family_nd("plastic", (8, 4, 4, 8), n_samples=512,
+                               seed=2)
+    rng = np.random.default_rng(5)
+    coords = jnp.asarray(rng.random((32, 4)), jnp.float32)
+    interp = np.asarray(lut.lookup(coords))
+    truth = np.asarray(mc_albedo_at("plastic", coords, n_samples=2048,
+                                    seed=11))
+    err = np.abs(interp - truth)
+    # Kd/Ks axes are exactly linear, so a 4-wide axis suffices there;
+    # the 0.06 budget = 0.05 threshold + MC noise at these sample counts.
+    assert err.max() < 0.06, (err.max(), err.mean())
+
+
+def test_hair_family_table_monotone_in_absorption():
+    """Hair albedo falls as sigma_a rises, at every (wo, beta) cell."""
+    from statmc_tpu.render.albedo_lut import precompute_family_nd
+
+    lut = precompute_family_nd("hair", (3, 4, 2, 2), n_samples=256)
+    v = np.asarray(lut.data).reshape(3, 4, 2, 2)
+    assert (np.diff(v, axis=1) < 0.02).all()  # monotone up to MC noise
