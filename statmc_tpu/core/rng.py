@@ -200,10 +200,14 @@ _PRIMES = None
 
 
 def _primes_table():
+    # Cache the host-side numpy table only: caching the jnp array would
+    # capture a tracer when the first call happens under a trace
+    # (shard_map/jit), poisoning every later trace (order-dependent
+    # UnexpectedTracerError).  The asarray below is a per-trace constant.
     global _PRIMES
     if _PRIMES is None:
-        _PRIMES = jnp.asarray(_primes(1100))
-    return _PRIMES
+        _PRIMES = _primes(1100)
+    return jnp.asarray(_PRIMES)
 
 
 def radical_inverse(base, n):

@@ -83,17 +83,22 @@ class LookupTable(NamedTuple):
 
 
 def _mc_albedo(mat_lanes, cos_thetas: Array, n_samples: int,
-               key, full_sphere: bool = False) -> Array:
+               key, full_sphere=False) -> Array:
     """MC directional albedo rho(wo) = E[f |cos wi| / pdf] per lane.
 
     full_sphere=True integrates over the whole sphere (hair fibers
     scatter through TT/TRT; the hemispherical GetAlbedo convention
-    would halve their response)."""
+    would halve their response).  Accepts a per-lane [G] bool mask for
+    mixed-material batches (precompute_material_curves)."""
     from . import bsdf as B
 
     G = cos_thetas.shape[0]
     st = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_thetas**2))
     wo = jnp.stack([st, jnp.zeros_like(st), cos_thetas], axis=-1)
+    if isinstance(full_sphere, bool):
+        sphere_mask = None if not full_sphere else True
+    else:
+        sphere_mask = full_sphere[..., None]
 
     def body(i, acc):
         k = jax.random.fold_in(key, i)
@@ -103,9 +108,11 @@ def _mc_albedo(mat_lanes, cos_thetas: Array, n_samples: int,
         w = smp.f * jnp.abs(smp.wi[..., 2:3]) / jnp.maximum(
             smp.pdf, 1e-9)[..., None]
         w = jnp.where(jnp.isfinite(w), w, 0.0)
-        if not full_sphere:
+        if sphere_mask is None:
             # Reflection-side albedo only (GetAlbedo semantics).
             w = jnp.where((smp.wi[..., 2:3] > 0), w, 0.0)
+        elif sphere_mask is not True:
+            w = jnp.where(sphere_mask | (smp.wi[..., 2:3] > 0), w, 0.0)
         return acc + w
 
     total = jax.lax.fori_loop(0, n_samples, body, jnp.zeros((G, 3)))
@@ -371,6 +378,16 @@ def precompute_material_curves(scene_tables, n_cos: int = 16,
 
     ones3 = jnp.ones((G, 3))
     zeros3 = jnp.zeros((G, 3))
+    from ..scene import build as sb
+
+    # Hair lanes route through the full Marschner model (hair_h=0,
+    # sigma_a riding the kt slot) and integrate over the whole sphere,
+    # the analogue of the reference's dedicated hair albedo LUT
+    # (materials/hair.cpp:171 hairAlbedoLUT).  Elided statically when
+    # the scene has no hair.
+    has_hair = bool(np.any(np.asarray(scene_tables.mat_type)
+                           == sb.MAT_HAIR))
+    hair_h = jnp.zeros((G,)) if has_hair else None
     base = MaterialLanes(
         mat_type=tile(scene_tables.mat_type),
         kd=ones3,
@@ -382,6 +399,7 @@ def precompute_material_curves(scene_tables, n_cos: int = 16,
         rough_u=tile(scene_tables.mat_rough_u),
         rough_v=tile(scene_tables.mat_rough_v),
         sigma=tile(scene_tables.mat_sigma),
+        hair_h=hair_h,
     )
     rest = base._replace(
         kd=zeros3,
@@ -391,16 +409,18 @@ def precompute_material_curves(scene_tables, n_cos: int = 16,
     )
     cc = jnp.tile(cos, (M,))
     key = jax.random.PRNGKey(seed)
-    lut_d = _mc_albedo(base, cc, n_samples, key).reshape(M, n_cos, 3)
+    sphere_mask = (base.mat_type == sb.MAT_HAIR) if has_hair else False
+    lut_d = _mc_albedo(base, cc, n_samples, key,
+                       full_sphere=sphere_mask).reshape(M, n_cos, 3)
     lut_rest = _mc_albedo(
-        rest, cc, n_samples, jax.random.fold_in(key, 1)
+        rest, cc, n_samples, jax.random.fold_in(key, 1),
+        full_sphere=sphere_mask,
     ).reshape(M, n_cos, 3)
     # The kd * lut_d decomposition only applies to families with a
     # Kd-proportional lobe; conductor/dielectric families ignore Kd, so
     # their whole albedo lives in lut_rest (computed with kd=0 above,
-    # which those BSDFs never read anyway).
-    from ..scene import build as sb
-
+    # which those BSDFs never read anyway).  Hair is likewise excluded:
+    # its full-sphere Marschner albedo lives entirely in lut_rest.
     t = scene_tables.mat_type
     kd_linear = (
         (t == sb.MAT_MATTE) | (t == sb.MAT_PLASTIC) | (t == sb.MAT_UBER)

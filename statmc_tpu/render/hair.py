@@ -349,7 +349,11 @@ def sample_wi(hp: HairLanes, wo: Array, u2: Array, uc: Array):
     u_theta = jnp.maximum(u2[..., 0], 1e-5)
     u_azim, u_dphi = _demux(u2[..., 1])
 
-    # Mp inverse-CDF (hair.cpp:542-549).
+    # Mp inverse-CDF (hair.cpp:542-549).  Deliberate deviation from the
+    # cited lines: the tilted cos(theta_o) is used with |cos| here AND
+    # in pdf(), so sampler and density stay mutually consistent at
+    # grazing theta_o with large alpha (the reference has a known
+    # sampler/pdf sign mismatch there; ours cancels in f/pdf either way).
     cos_t = 1.0 + vp * jnp.log(u_theta + (1.0 - u_theta)
                                * jnp.exp(-2.0 / jnp.maximum(vp, 1e-6)))
     sin_t = _safe_sqrt(1.0 - cos_t**2)

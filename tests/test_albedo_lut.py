@@ -131,3 +131,42 @@ def test_hair_family_table_monotone_in_absorption():
     lut = precompute_family_nd("hair", (3, 4, 2, 2), n_samples=256)
     v = np.asarray(lut.data).reshape(3, 4, 2, 2)
     assert (np.diff(v, axis=1) < 0.02).all()  # monotone up to MC noise
+
+
+def test_hair_material_curves_nonzero():
+    """ADVICE r3 regression: hair rows must route through the Marschner
+    model in the reduced curves (hair.cpp:171 hairAlbedoLUT analogue) --
+    a dark-brown fiber's G-buffer albedo is small but clearly nonzero,
+    and a low-absorption fiber reflects more."""
+    import tempfile
+    from statmc_tpu.scene.api import parse_scene
+    from statmc_tpu.scene.build import build_scene
+
+    scene = (
+        'Integrator "statpath" "integer iterations" [1]\n'
+        'Film "image" "integer xresolution" [4] "integer yresolution" [4] '
+        '"string filename" ["t.pfm"]\n'
+        'Camera "perspective" "float fov" [60]\nWorldBegin\n'
+        'Material "hair" "rgb sigma_a" [0.06 0.10 0.15]\n'
+        'Shape "sphere" "float radius" [1]\n'
+        'Material "hair" "rgb sigma_a" [3.0 4.0 5.0]\n'
+        'Shape "sphere" "float radius" [2]\n'
+        'WorldEnd\n'
+    )
+    tmp = tempfile.mkdtemp()
+    p = tmp + "/s.pbrt"
+    with open(p, "w") as f:
+        f.write(scene)
+    sc = build_scene(parse_scene(p)).to_device()
+    lut_d, lut_rest = precompute_material_curves(sc, n_cos=8, n_samples=256)
+    light = np.asarray(lut_rest[0])   # low absorption
+    dark = np.asarray(lut_rest[1])    # high absorption
+    assert (light >= 0).all() and (light <= 1.2).all()
+    assert float(light[-1].mean()) > 0.2     # clearly nonzero
+    assert float(light[-1].mean()) > float(dark[-1].mean()) + 0.05
+    # Query path: hair ignores kd (lut_d zeroed), albedo = lut_rest.
+    alb = albedo_from_curves(
+        lut_d, lut_rest, jnp.asarray([0], jnp.int32),
+        jnp.asarray([[0.5, 0.5, 0.5]]), jnp.asarray([0.9]),
+    )
+    assert float(np.asarray(alb).mean()) > 0.1

@@ -27,7 +27,10 @@ def _mc_albedo(m, n=4096, seed=0):
                      np.linalg.norm([0.3, 0.1, 0.95]))
     u2 = jnp.asarray(rng.random((n, 2)), dtype=jnp.float32)
     uc = jnp.asarray(rng.random(n), dtype=jnp.float32)
-    mm = B.MaterialLanes(*[jnp.broadcast_to(x, (n,) + x.shape[1:])
+    # Optional plumbing fields (fourier_id/fourier_tab/hair_h) stay None
+    # when absent; only broadcast the array-valued lanes.
+    mm = B.MaterialLanes(*[x if x is None
+                           else jnp.broadcast_to(x, (n,) + x.shape[1:])
                            for x in m])
     s = B.sample(mm, wo, u2, uc)
     w = np.asarray(s.f * B.abs_cos_theta(s.wi)[..., None]
