@@ -22,10 +22,17 @@ batched connection + one batched shadow ray over all lanes.  t=1
 splats accumulate through a scatter-add film (pbrt's film splat,
 bdpt.cpp:RenderBDPT tile loop).
 
-Documented gap: escaped rays end the walk without creating an
-infinite-area-light vertex (bdpt.cpp:962-1000 handles those); scenes lit
-only by `infinite` lights under-count via bdpt here.  All bundled bdpt
-test scenes are closed interiors.
+Infinite lights: escaped camera rays create a light vertex carrying the
+environment radiance with solid-angle densities (bdpt.cpp:962-1000,
+bdpt.h:330/372/401 -- ConvertDensity passes through, PdfLight uses the
+planar world-disc density, PdfLightOrigin the summed direction
+density), and the s=1 strategy NEE-samples infinite lights with the
+same density expressions, so the (0,t)/(1,t) weights partition.
+Remaining documented gap: the LIGHT subpath does not emit from
+infinite lights (s>=2 strategies never start at the environment);
+those paths are covered by the s=0/s=1 strategies, whose MIS
+denominators therefore omit the unimplemented alternatives exactly as
+pbrt omits strategies whose pdfs are zero.
 """
 from __future__ import annotations
 
@@ -209,6 +216,31 @@ def _pdf_le_dir(scene, light_id, ng_light, w):
     return pdf
 
 
+def _scene_has_infinite(scene) -> bool:
+    import numpy as _np
+
+    return bool(_np.any(_np.asarray(scene.light_kind)
+                        == sb.LIGHT_INFINITE))
+
+
+def _infinite_light_density(scene, pmf_all, w):
+    """InfiniteLightDensity (bdpt.h:114-126): sum over infinite lights
+    of Pdf_Li(w) * pmf(light) -- the solid-angle density with which the
+    strategy family samples direction w toward the environment."""
+    import numpy as _np
+
+    kinds = _np.asarray(scene.light_kind)
+    R = w.shape[0]
+    zero3 = jnp.zeros((R, 3))
+    total = jnp.zeros((R,))
+    for li in _np.nonzero(kinds == sb.LIGHT_INFINITE)[0]:
+        lid = jnp.full((R,), int(li), jnp.int32)
+        p = LT.pdf_li(scene, lid, zero3, w, zero3, zero3,
+                      jnp.zeros((R,), bool))
+        total = total + pmf_all[int(li)] * p
+    return total
+
+
 def _pdf_light_origin(scene, pmf_all, light_id):
     """pmf(light) * pdfPos (Vertex::PdfLightOrigin, area part)."""
     pmf = pmf_all[light_id]
@@ -221,6 +253,45 @@ def _pdf_light_origin(scene, pmf_all, light_id):
         jnp.where(kind == sb.LIGHT_DISTANT,
                   1.0 / (jnp.pi * wr * wr), 1.0))
     return pmf * pdf_pos
+
+
+
+class _Draws:
+    """Pluggable draw source for the BDPT walks/connections.
+
+    Threefry mode (keys != None): draws address (bounce, slot) exactly
+    as before.  PSS mode (U != None): each STATIC call site gets a
+    fixed dim range of the primary-sample vector U [C, D], assigned in
+    deterministic trace order -- the property Kelemen-MLT needs
+    (render/pssmlt.py mutates U and re-evaluates the same function).
+    """
+
+    def __init__(self, keys=None, U=None, skip: int = 0):
+        self.keys = keys
+        self.U = U
+        self._dims = {}
+        self._next = skip
+
+    def _dim(self, b, slot, n):
+        key = (int(b), int(slot))
+        if key not in self._dims:
+            self._dims[key] = self._next
+            self._next += n
+        return self._dims[key]
+
+    def d1(self, b, slot):
+        if self.U is None:
+            return crng.uniform_1d(self.keys, b, slot)
+        i = self._dim(b, slot, 1)
+        assert i + 1 <= self.U.shape[1], "MLT U vector too short"
+        return self.U[:, i]
+
+    def d2(self, b, slot):
+        if self.U is None:
+            return crng.uniform_2d(self.keys, b, slot)
+        i = self._dim(b, slot, 2)
+        assert i + 2 <= self.U.shape[1], "MLT U vector too short"
+        return self.U[:, i:i + 2]
 
 
 class _Path:
@@ -240,6 +311,19 @@ class _Path:
         self.wo = z(3)  # world, toward the previous vertex
         self.vtype = jnp.zeros((P, V), jnp.int32)
         self.delta = jnp.zeros((P, V), bool)
+        # Slot-0-only: light POSITION is a Dirac delta (point/spot/
+        # distant -- pbrt's IsDeltaLight()).  Distinct from `delta`,
+        # which marks SPECULAR scattering vertices: a delta light is
+        # still a perfectly valid NEE target, so only the s=0 strategy
+        # (bdpt.cpp:536 deltaLightvertex at i==0) is excluded by it.
+        # Conflating the two excluded real strategies from the MIS
+        # denominator (round-3 analytic 1.60-vs-1.00 overcount).
+        self.light_delta = jnp.zeros((P, V), bool)
+        # Escaped-ray light vertex (bdpt.cpp:962-1000): the camera walk
+        # ends in a VT_LIGHT vertex carrying the infinite lights' Le;
+        # its densities stay in SOLID-ANGLE measure (ConvertDensity
+        # passes through for infinite vertices, bdpt.h:330).
+        self.infinite = jnp.zeros((P, V), bool)
         self.light_id = jnp.full((P, V), -1, jnp.int32)
 
     def set(self, i, **kw):
@@ -249,6 +333,15 @@ class _Path:
 
     def exists(self, i):
         return self.vtype[:, i] != VT_NONE
+
+    def on_surface(self, i):
+        """Vertex::IsOnSurface (bdpt.h): surface hits AND area-light
+        vertices carry a geometric normal; camera/delta-light/infinite
+        endpoints do not, so densities converted TO them keep the
+        1/d^2 form."""
+        return (self.vtype[:, i] == VT_SURFACE) | (
+            (self.vtype[:, i] == VT_LIGHT) & ~self.light_delta[:, i]
+            & ~self.infinite[:, i])
 
     def n_valid(self):
         return jnp.sum((self.vtype != VT_NONE).astype(jnp.int32), axis=1)
@@ -290,6 +383,11 @@ class BDPTRenderer(AltRenderer):
         self.strategy_filter = None
         # Debug hook: disable MIS weighting (weights -> 1; biased).
         self.debug_no_mis = False
+        # MLT contribution mode: drop the t=1 (light->lens splat)
+        # strategies AND their MIS denominator terms, so the remaining
+        # t>=2 strategy sum still partitions (render/pssmlt.py needs a
+        # single-pixel contribution function).
+        self.exclude_t1 = False
 
     @property
     def film_mean(self):
@@ -312,19 +410,22 @@ class BDPTRenderer(AltRenderer):
                    start=1, mode_importance=False)
         return path
 
-    def _light_walk(self, keys, V):
-        """Light subpath (GenerateLightSubpath, bdpt.cpp:397-476)."""
+    def _light_walk(self, keys, V, n_lanes=None):
+        """Light subpath (GenerateLightSubpath, bdpt.cpp:397-476).
+
+        n_lanes overrides the one-lane-per-pixel default (the MLT
+        contribution function runs one lane per Markov chain)."""
         s = self.s
         scene = s.scene
-        P = s.width * s.height
-        u_sel = crng.uniform_1d(keys, 0, crng.SLOT_LIGHT_SELECT + 16)
+        P = n_lanes if n_lanes is not None else s.width * s.height
+        u_sel = keys.d1(0, crng.SLOT_LIGHT_SELECT + 16)
         pmf_all = _light_power_pmf(scene)
         cdf = jnp.cumsum(pmf_all)
         light_id = jnp.clip(jnp.searchsorted(cdf, u_sel), 0,
                             pmf_all.shape[0] - 1).astype(jnp.int32)
         pmf = pmf_all[light_id]
-        u_pos = crng.uniform_2d(keys, 0, crng.SLOT_LIGHT_SAMPLE + 16)
-        u_dir = crng.uniform_2d(keys, 0, crng.SLOT_BSDF + 16)
+        u_pos = keys.d2(0, crng.SLOT_LIGHT_SAMPLE + 16)
+        u_dir = keys.d2(0, crng.SLOT_BSDF + 16)
         o, d, Le, ng, pdf_pos, pdf_dir, delta_pos = _emit_sample(
             scene, light_id, u_pos, u_dir)
         path = _Path(P, self.max_depth + 1)
@@ -333,7 +434,7 @@ class BDPTRenderer(AltRenderer):
                  pdf_fwd=pmf * pdf_pos,
                  vtype=jnp.where(ok, VT_LIGHT, VT_NONE),
                  light_id=light_id,
-                 delta=delta_pos)
+                 light_delta=delta_pos)
         cos0 = jnp.abs(cm.dot(ng, d))
         beta = Le * cos0[:, None] / jnp.maximum(
             pmf * pdf_pos * pdf_dir, 1e-20)[:, None]
@@ -351,6 +452,7 @@ class BDPTRenderer(AltRenderer):
         P = path.P
         active = jnp.any(beta > 0, -1)
         slot_base = 32 if mode_importance else 0
+        has_inf = (not mode_importance) and _scene_has_infinite(scene)
         for i in range(start, path.V):
             hit = intersect_scene(
                 scene, o, d, t_max=jnp.where(active, cm.INF, 0.0), bvh=bvh)
@@ -359,24 +461,37 @@ class BDPTRenderer(AltRenderer):
             prev_p = path.p[:, i - 1]
             pdf_fwd = _convert_density(pdf_dir, prev_p, hit.p, hit.ng,
                                        jnp.ones((P,), bool))
+            if has_inf:
+                # Escaped camera ray -> infinite-light vertex
+                # (bdpt.cpp:962-1000): beta unchanged, direction kept in
+                # wo, pdf_fwd stays SOLID-ANGLE (bdpt.h:330).
+                escaped = active & ~hit.found
+            else:
+                escaped = jnp.zeros((P,), bool)
+            far_p = o + d * (2.0 * scene.world_radius)
             m = B.gather_materials(scene, hit.mat_id, hit.uv, hit.p)
             frame = B.ShadingFrame.from_normal(jnp.where(
                 jnp.any(hit.ns != 0, -1, keepdims=True), hit.ns,
                 jnp.array([0.0, 0.0, 1.0])))
             wo_l = frame.to_local(-d)
             delta = B.is_specular(m)
+            keep = found | escaped
             path.set(
                 i,
-                p=jnp.where(found[:, None], hit.p, 0.0),
+                p=jnp.where(found[:, None], hit.p,
+                            jnp.where(escaped[:, None], far_p, 0.0)),
                 ng=jnp.where(found[:, None], hit.ng, 0.0),
                 ns=jnp.where(found[:, None], hit.ns, 0.0),
-                beta=jnp.where(found[:, None], beta, 0.0),
-                pdf_fwd=jnp.where(found, pdf_fwd, 0.0),
+                beta=jnp.where(keep[:, None], beta, 0.0),
+                pdf_fwd=jnp.where(found, pdf_fwd,
+                                  jnp.where(escaped, pdf_dir, 0.0)),
                 mat_id=jnp.where(found, hit.mat_id, 0),
                 uv=jnp.where(found[:, None], hit.uv, 0.0),
-                wo=jnp.where(found[:, None], -d, 0.0),
-                vtype=jnp.where(found, VT_SURFACE, VT_NONE),
+                wo=jnp.where(keep[:, None], -d, 0.0),
+                vtype=jnp.where(found, VT_SURFACE,
+                                jnp.where(escaped, VT_LIGHT, VT_NONE)),
                 delta=found & delta,
+                infinite=escaped,
                 light_id=jnp.where(found, hit.light_id, -1),
             )
             if i + 1 >= path.V:
@@ -384,9 +499,8 @@ class BDPTRenderer(AltRenderer):
                 # computes it when sampling the continuation; the last
                 # vertex never continues, so stop here.
                 break
-            u_b = crng.uniform_2d(keys, i + slot_base, crng.SLOT_BSDF)
-            uc = crng.uniform_1d(keys, i + slot_base,
-                                 crng.SLOT_BSDF_COMPONENT_PC)
+            u_b = keys.d2(i + slot_base, crng.SLOT_BSDF)
+            uc = keys.d1(i + slot_base, crng.SLOT_BSDF_COMPONENT_PC)
             bs = B.sample(m, wo_l, u_b, uc)
             wi_w = frame.to_world(bs.wi)
             cosw = jnp.abs(cm.dot(wi_w, hit.ns))
@@ -407,7 +521,7 @@ class BDPTRenderer(AltRenderer):
             pdf_rev_dir = jnp.where(bs.specular, 0.0, pdf_rev_dir)
             prev_rev = _convert_density(
                 pdf_rev_dir, hit.p, prev_p, path.ng[:, i - 1],
-                path.vtype[:, i - 1] == VT_SURFACE)
+                path.on_surface(i - 1))
             path.pdf_rev = path.pdf_rev.at[:, i - 1].set(
                 jnp.where(found, prev_rev, path.pdf_rev[:, i - 1]))
             live = found & (bs.pdf > 0) & jnp.any(bs.f > 0, -1)
@@ -480,10 +594,17 @@ class BDPTRenderer(AltRenderer):
         return wi, dist, we[:, None] * jnp.ones((1, 3)), idx, inside, cos_t
 
     # ------------------------------------------------------------------
-    def _mis_weight(self, qs, pt, s_n, t_n, overrides):
+    def _mis_weight(self, qs, pt, s_n, t_n, overrides,
+                    env_no_lightwalk=None):
         """bdpt.cpp:MISWeight:477-576 with functional endpoint overrides.
 
-        overrides: dict mapping ('q'|'p', index) -> pdf_rev value."""
+        overrides: dict mapping ('q'|'p', index) -> pdf_rev value.
+        env_no_lightwalk: [P] bool -- lanes whose path ends at an
+        infinite light.  Our light walk does not emit from infinite
+        lights (module docstring), so the s'>=2 alternatives do not
+        exist for those paths and their denominator terms are dropped
+        (pbrt includes them because its GenerateLightSubpath samples
+        env emission; keeping them here would under-weight env paths)."""
         if s_n + t_n == 2:
             return jnp.ones((pt.P,))
         sum_ri = jnp.zeros((pt.P,))
@@ -505,18 +626,30 @@ class BDPTRenderer(AltRenderer):
         ri = jnp.ones((pt.P,))
         for i in range(t_n - 1, 0, -1):
             ri = ri * _remap0(rev(pt, "p", i)) / _remap0(pt.pdf_fwd[:, i])
+            if i == 1 and self.exclude_t1:
+                # MLT mode never samples the t=1 strategies; drop their
+                # terms so the reduced strategy set partitions.
+                continue
             use = ~dlt(pt, "p", i) & ~dlt(pt, "p", i - 1)
+            if env_no_lightwalk is not None and s_n + t_n - i >= 2:
+                # This term is the (s' = s+t-i, t' = i) alternative,
+                # which starts the light walk at the environment.
+                use = use & ~env_no_lightwalk
             sum_ri = sum_ri + jnp.where(use, ri, 0.0)
         ri = jnp.ones((pt.P,))
         for i in range(s_n - 1, -1, -1):
             ri = ri * _remap0(rev(qs, "q", i)) / _remap0(qs.pdf_fwd[:, i])
             if i > 0:
+                # bdpt.cpp:536: deltaLightvertex at i>0 is the SPECULAR
+                # delta of the previous vertex; the light vertex's
+                # `delta` field is always false in pbrt, so a delta
+                # light POSITION never suppresses these terms.
                 use = ~dlt(qs, "q", i) & ~dlt(qs, "q", i - 1)
             else:
-                # deltaLightVertex: origin of a delta light (point/spot)
-                use = ~dlt(qs, "q", 0) & ~qs.delta[:, 0]
-                use = jnp.where(qs.vtype[:, 0] == VT_LIGHT,
-                                ~qs.delta[:, 0], use)
+                # i==0 is the s=0 alternative: impossible iff the light
+                # position cannot be hit (IsDeltaLight: point/spot/
+                # distant) -- bdpt.cpp:537 lightVertices[0].IsDeltaLight.
+                use = ~dlt(qs, "q", 0) & ~qs.light_delta[:, 0]
             sum_ri = sum_ri + jnp.where(use, ri, 0.0)
         return 1.0 / (1.0 + sum_ri)
 
@@ -532,11 +665,12 @@ class BDPTRenderer(AltRenderer):
         pmf_uniform = None
 
         def one_sample(base_key, it):
-            keys = crng.pixel_keys(base_key, pixel_ids,
-                                   jnp.asarray(it, jnp.int32))
+            raw = crng.pixel_keys(base_key, pixel_ids,
+                                  jnp.asarray(it, jnp.int32))
+            keys = _Draws(keys=raw)
             px = (pixel_ids % W).astype(jnp.float32)
             py = (pixel_ids // W).astype(jnp.float32)
-            u_cam = crng.uniform_2d(keys, 0, crng.SLOT_CAMERA)
+            u_cam = keys.d2(0, crng.SLOT_CAMERA)
             o0, d0 = CAM.generate_rays(
                 self.s.cam, jnp.stack([px, py], -1) + u_cam)
             pt = self._camera_walk(keys, o0, d0, Vc)
@@ -607,11 +741,20 @@ class BDPTRenderer(AltRenderer):
         pt_ok = pt.exists(ti) & (pt.vtype[:, ti] == VT_SURFACE)
 
         if s_n == 0:
-            # Camera path alone: pt[t-1] must be emissive.
+            # Camera path alone: pt[t-1] must be emissive -- an area
+            # light hit, or the escaped-ray infinite-light vertex.
             lid = pt.light_id[:, ti]
             le = LT.area_light_le(scene, lid, pt.ng[:, ti], pt.wo[:, ti])
+            is_inf = pt.infinite[:, ti]
+            has_inf = _scene_has_infinite(scene)
+            if has_inf:
+                env_dir = -pt.wo[:, ti]
+                le = jnp.where(is_inf[:, None],
+                               LT.escaped_radiance(scene, env_dir), le)
             L = pt.beta[:, ti] * le
-            valid = pt_ok & (lid >= 0) & jnp.any(le > 0, -1)
+            emissive = ((pt.vtype[:, ti] == VT_SURFACE) & (lid >= 0)) \
+                | is_inf
+            valid = pt.exists(ti) & emissive & jnp.any(le > 0, -1)
             if t_n - 2 >= 0:
                 prev_ok = pt.exists(t_n - 2)
                 valid = valid & prev_ok
@@ -619,25 +762,49 @@ class BDPTRenderer(AltRenderer):
             # pt[t-2].pdf_rev = PdfLight (dir density at pt[t-2]).
             ov = {}
             lid_s = jnp.maximum(lid, 0)
-            ov[("p", ti)] = _pdf_light_origin(scene, pmf_all, lid_s)
+            origin = _pdf_light_origin(scene, pmf_all, lid_s)
+            if has_inf:
+                # bdpt.h:401-404: infinite vertices use the summed
+                # solid-angle density of sampling this direction.
+                origin = jnp.where(
+                    is_inf,
+                    _infinite_light_density(scene, pmf_all, env_dir),
+                    origin)
+            ov[("p", ti)] = origin
             if ti - 1 >= 0:
                 wdir = pt.p[:, ti - 1] - pt.p[:, ti]
                 dist = jnp.maximum(cm.length(wdir), 1e-12)
                 wn = wdir / dist[:, None]
                 pdir = _pdf_le_dir(scene, lid_s, pt.ng[:, ti], wn)
-                ov[("p", ti - 1)] = _convert_density(
+                prev_rev = _convert_density(
                     pdir, pt.p[:, ti], pt.p[:, ti - 1], pt.ng[:, ti - 1],
                     pt.vtype[:, ti - 1] == VT_SURFACE)
+                if has_inf:
+                    # Vertex::PdfLight for infinite lights (bdpt.h:372):
+                    # planar world-disc density, cos-projected onto the
+                    # receiver, NO 1/d^2.
+                    wr = scene.world_radius
+                    plan = 1.0 / (jnp.pi * wr * wr)
+                    cos_prev = jnp.abs(cm.dot(pt.ng[:, ti - 1],
+                                              pt.wo[:, ti]))
+                    prev_rev = jnp.where(
+                        is_inf,
+                        plan * jnp.where(pt.on_surface(ti - 1),
+                                         cos_prev, 1.0),
+                        prev_rev)
+                ov[("p", ti - 1)] = prev_rev
             L = jnp.where(valid[:, None], L, 0.0)
-            w = self._mis_weight(qs, pt, s_n, t_n, ov)
+            w = self._mis_weight(qs, pt, s_n, t_n, ov,
+                                 env_no_lightwalk=(is_inf if has_inf
+                                                   else None))
             return L, jnp.where(valid, w, 0.0)
 
         if s_n == 1:
             # Resample a light from pt[t-1] (the NEE-analogue strategy).
-            u_sel = crng.uniform_1d(keys, t_n, crng.SLOT_LIGHT_SELECT + 8)
+            u_sel = keys.d1(t_n, crng.SLOT_LIGHT_SELECT + 8)
             light_id, sel_pmf = sample_light_id(
                 self.s.dist, u_sel, pt.p[:, ti])
-            u_l = crng.uniform_2d(keys, t_n, crng.SLOT_LIGHT_SAMPLE + 8)
+            u_l = keys.d2(t_n, crng.SLOT_LIGHT_SAMPLE + 8)
             ls = LT.sample_li(scene, light_id, pt.p[:, ti], pt.ng[:, ti],
                               u_l)
             f, _ = _bsdf_f(scene, pt.mat_id[:, ti], pt.uv[:, ti],
@@ -661,27 +828,51 @@ class BDPTRenderer(AltRenderer):
             lid_s = jnp.maximum(light_id, 0)
             kind = scene.light_kind[lid_s]
             is_area = (kind == sb.LIGHT_AREA_TRI) | (kind == sb.LIGHT_AREA_SPH)
+            is_inf_l = kind == sb.LIGHT_INFINITE
+            has_inf = _scene_has_infinite(scene)
             ng_l = jnp.where(is_area[:, None],
                              self._area_light_normal(scene, lid_s, ls),
                              -wn)
+            pdf_fwd0 = _pdf_light_origin(scene, pmf_all, lid_s) \
+                * sel_pmf / jnp.maximum(pmf_all[lid_s], 1e-20)
+            if has_inf:
+                # PdfLightOrigin for an infinite light = the summed
+                # solid-angle direction density (bdpt.h:401-404), kept
+                # un-converted like every infinite-vertex density.
+                pdf_fwd0 = jnp.where(
+                    is_inf_l,
+                    _infinite_light_density(scene, pmf_all, wn),
+                    pdf_fwd0)
             qs1.set(0, p=ls.p_light, ng=ng_l, ns=ng_l, beta=beta_light,
-                    pdf_fwd=_pdf_light_origin(scene, pmf_all, lid_s)
-                    * sel_pmf / jnp.maximum(pmf_all[lid_s], 1e-20),
+                    pdf_fwd=pdf_fwd0,
                     vtype=jnp.where(valid, VT_LIGHT, VT_NONE),
                     light_id=light_id,
-                    delta=ls.is_delta)
+                    light_delta=ls.is_delta,
+                    infinite=is_inf_l)
             ov = {}
             # qs[0].pdf_rev = pt[t-1].Pdf(pt[t-2] -> qs[0]).
             pdf_q0 = _bsdf_pdf(scene, pt.mat_id[:, ti], pt.uv[:, ti],
                                pt.p[:, ti], pt.ns[:, ti], pt.wo[:, ti],
                                wn)
-            ov[("q", 0)] = _convert_density(
+            q0_rev = _convert_density(
                 pdf_q0, pt.p[:, ti], ls.p_light, ng_l, is_area)
+            if has_inf:
+                # ConvertDensity passes through for infinite vertices
+                # (bdpt.h:330): keep the raw solid-angle BSDF pdf.
+                q0_rev = jnp.where(is_inf_l, pdf_q0, q0_rev)
+            ov[("q", 0)] = q0_rev
             # pt[t-1].pdf_rev = light's emission pdf toward pt[t-1].
             pdir = _pdf_le_dir(scene, lid_s, ng_l, -wn)
-            ov[("p", ti)] = _convert_density(
+            p_ti_rev = _convert_density(
                 pdir, ls.p_light, pt.p[:, ti], pt.ng[:, ti],
                 jnp.ones((P,), bool))
+            if has_inf:
+                # Vertex::PdfLight for infinite lights (bdpt.h:372).
+                wr = scene.world_radius
+                plan = (1.0 / (jnp.pi * wr * wr)) \
+                    * jnp.abs(cm.dot(pt.ng[:, ti], wn))
+                p_ti_rev = jnp.where(is_inf_l, plan, p_ti_rev)
+            ov[("p", ti)] = p_ti_rev
             if ti - 1 >= 0:
                 # pt[t-2].pdf_rev = pt[t-1].Pdf(qs[0] -> pt[t-2]).
                 wprev = pt.p[:, ti - 1] - pt.p[:, ti]
@@ -694,7 +885,9 @@ class BDPTRenderer(AltRenderer):
                     pt.ng[:, ti - 1],
                     pt.vtype[:, ti - 1] == VT_SURFACE)
             L = jnp.where(valid[:, None], L, 0.0)
-            w = self._mis_weight(qs1, pt, 1, t_n, ov)
+            w = self._mis_weight(qs1, pt, 1, t_n, ov,
+                                 env_no_lightwalk=(is_inf_l if has_inf
+                                                   else None))
             return L, jnp.where(valid, w, 0.0)
 
         # s >= 2: surface-surface connection.
@@ -732,7 +925,7 @@ class BDPTRenderer(AltRenderer):
                                 -wn, wqn)
             ov[("q", si - 1)] = _convert_density(
                 pdf_qs2, qs.p[:, si], qs.p[:, si - 1], qs.ng[:, si - 1],
-                qs.vtype[:, si - 1] == VT_SURFACE)
+                qs.on_surface(si - 1))
         # pt[t-1].pdf_rev = qs[s-1].Pdf(qs[s-2] -> pt[t-1]).
         pdf_pt1 = _bsdf_pdf(self.s.scene, qs.mat_id[:, si], qs.uv[:, si],
                             qs.p[:, si], qs.ns[:, si], qs.wo[:, si], -wn)
@@ -755,7 +948,13 @@ class BDPTRenderer(AltRenderer):
         return L, jnp.where(valid, w, 0.0)
 
     def _area_light_normal(self, scene, light_id, ls):
-        """Geometric normal at an area-light sample point."""
+        """Geometric EMISSION normal at an area-light sample point.
+
+        Triangles encode ReverseOrientation by winding swap (the cross
+        product is already flipped); spheres carry the explicit
+        sph_flip sign (scene/build.py:606-656) -- omitting it zeroed
+        the s=1 emission-pdf MIS override on reversed sphere lights
+        (round-3/4 analytic s3 failure)."""
         if scene.tri_p0.shape[0] > 0:
             t = jnp.maximum(scene.light_prim[light_id], 0)
             n_tri = cm.normalize(jnp.cross(scene.tri_e1[t],
@@ -765,6 +964,9 @@ class BDPTRenderer(AltRenderer):
         if scene.sph_center.shape[0] > 0:
             si = jnp.maximum(scene.light_prim[light_id], 0)
             n_sph = cm.normalize(ls.p_light - scene.sph_center[si])
+            if scene.sph_flip is not None:
+                n_sph = n_sph * jnp.take(scene.sph_flip, si,
+                                         axis=0)[:, None]
             kind = scene.light_kind[light_id]
             return jnp.where((kind == sb.LIGHT_AREA_SPH)[:, None],
                              n_sph, n_tri)
@@ -822,12 +1024,79 @@ class BDPTRenderer(AltRenderer):
                                qs.p[:, si], qs.ns[:, si], wi, wqn)
             ov[("q", si - 1)] = _convert_density(
                 pdf_q2, qs.p[:, si], qs.p[:, si - 1], qs.ng[:, si - 1],
-                qs.vtype[:, si - 1] == VT_SURFACE)
+                qs.on_surface(si - 1))
         w = self._mis_weight(qs, pt1, s_n, 1, ov)
         L = jnp.where(valid[:, None], L, 0.0)
         return L, idx, jnp.where(valid, w, 0.0)
 
     # ------------------------------------------------------------------
+
+    # ------------------------------------------------------------------
+    def make_contribution(self, n_chains: int, max_dims: int = 256):
+        """Kelemen-MLT contribution function over the BDPT strategy sum
+        (render/pssmlt.py).
+
+        pbrt's MLT mutates ONE (s,t) strategy per state (mlt.cpp:120-260
+        picks depth + strategy from the connection stream).  On a SIMD
+        wavefront that design wastes all lanes but one strategy's worth
+        of connection work, so here f(U) is the FULL t>=2 strategy sum:
+        mutations of the light-stream dims of U explore caustic paths
+        exactly as pbrt's light-subpath stream does, and the evaluation
+        stays lane-uniform.  t=1 strategies (which splat to a different
+        pixel than U's film dims) are excluded WITH their MIS terms
+        (exclude_t1), so the reduced mixture still partitions --
+        unbiased, documented deviation.
+
+        Returns (f, n_dims): f(U [C, n_dims]) -> (y [C], L [C,3],
+        pix [C] int32)."""
+        import functools
+
+        s = self.s
+        W, H = s.width, s.height
+        scene, bvh = s.scene, s.bvh
+        D = self.max_depth
+        Vc = D + 2
+        self.exclude_t1 = True
+        holder = {}
+
+        def f(U):
+            keys = _Draws(U=U, skip=2)
+            px = jnp.clip(U[:, 0] * W, 0.0, W - 1e-3)
+            py = jnp.clip(U[:, 1] * H, 0.0, H - 1e-3)
+            o0, d0 = CAM.generate_rays(s.cam, jnp.stack([px, py], -1))
+            pt = self._camera_walk(keys, o0, d0, Vc)
+            qs = self._light_walk(keys, D + 1, n_lanes=n_chains)
+            pmf_all = self._light_pmf_all
+
+            def vis(pa, pb, ng_a, valid):
+                wdir = pb - pa
+                dist = cm.length(wdir)
+                wn = wdir / jnp.maximum(dist, 1e-12)[:, None]
+                occ = occluded_scene(
+                    scene, _offset_origin(pa, ng_a, wn), wn,
+                    jnp.where(valid, jnp.maximum(dist * 0.999, 0.0), 0.0),
+                    bvh=bvh)
+                return ~occ
+
+            L = jnp.zeros((n_chains, 3))
+            for t_n in range(2, Vc + 1):
+                for s_n in range(0, D + 2):
+                    if s_n + t_n > D + 2:
+                        continue
+                    c, w = self._connect(qs, pt, s_n, t_n, keys, pmf_all,
+                                         vis)
+                    if c is None:
+                        continue
+                    L = L + c * w[:, None]
+            pix = (py.astype(jnp.int32) * W + px.astype(jnp.int32))
+            holder["dims"] = keys._next
+            return spec.luminance(L), L, pix
+
+        # Discover the dim count with an abstract trace (no compute).
+        jax.eval_shape(f, jax.ShapeDtypeStruct((n_chains, max_dims),
+                                               jnp.float32))
+        return f, holder["dims"]
+
     def _render_iteration(self, i: int) -> float:
         s = self.s
         if self._iter_fn is None:

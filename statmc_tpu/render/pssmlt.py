@@ -8,15 +8,20 @@ estimator, and bootstrap normalization b = E[L].
 
 Differences from the reference, by design:
 
-* The path-contribution function f(U) is the WAVEFRONT UNIDIRECTIONAL
-  path tracer evaluated under the lockstep draw-table mode
-  (core/rng.py MODE_LOCKSTEP): every integrator draw site reads a fixed
-  position of U, so f is a pure deterministic function of U -- exactly
-  the property PSS-MLT needs.  pbrt mutates BDPT path contributions
-  (one stream per subpath); mutating the PT estimator is the same
-  Kelemen/Szirmay-Kalos algorithm over a different (still unbiased)
-  contribution function.  Scenes whose transport needs bidirectional
-  strategies (hard caustics through glass) mix more slowly here.
+* The path-contribution function f(U) is BIDIRECTIONAL by default
+  (pbrt's design): render/bdpt.py make_contribution evaluates the full
+  t>=2 BDPT strategy sum from U, whose dims cover the camera subpath,
+  the light subpath, and the per-strategy connection draws -- mutating
+  light-stream dims explores caustic paths exactly as pbrt's
+  light-subpath stream does.  Where pbrt evaluates ONE (s,t) strategy
+  per state (mlt.cpp:120-260), the wavefront evaluates the whole MIS
+  mixture: on SIMD hardware per-lane strategy divergence would waste
+  every other strategy's work anyway, and the full sum is an equally
+  valid (lower-variance) contribution function.  t=1 strategies are
+  excluded with their MIS terms (single-pixel contribution; see
+  bdpt.py:make_contribution).  `"bool bidirectional" ["false"]` falls
+  back to mutating the unidirectional path tracer under the lockstep
+  draw-table mode (core/rng.py MODE_LOCKSTEP).
 * One chain per lane: tens of thousands of INDEPENDENT Markov chains
   advance in lockstep, each mutation evaluating f for every chain as
   one XLA program -- the TPU replacement for pbrt's nChains=1000 CPU
@@ -47,11 +52,27 @@ class MLTRenderer(AltRenderer):
     """integrator "mlt": iterations map to mutation batches; iteration i
     contributes total_spp(i) mutations per pixel on average."""
 
+    def __init__(self, desc, base_seed: int = 0, force_dense: bool = False):
+        ip = desc.integrator_params
+        self.bidirectional = bool(ip.find_one("bidirectional", True)) \
+            if ip else True
+        self._desc = desc
+        self._force_dense = force_dense
+        super().__init__(desc, base_seed, force_dense=force_dense)
+
     def _reset_state(self):
         s = self.s
         self.cfg = s.icfg._replace(sampler_mode=crng.MODE_LOCKSTEP)
-        n_steps = s.icfg.max_depth + 1 + s.icfg.null_extra
-        self.D = LS.dims_per_sample(n_steps)
+        if self.bidirectional:
+            from .bdpt import BDPTRenderer
+
+            self._bdpt = BDPTRenderer(self._desc, self.base_seed,
+                                      force_dense=self._force_dense)
+            self._f_bdpt, self.D = self._bdpt.make_contribution(N_CHAINS)
+        else:
+            self._bdpt = None
+            n_steps = s.icfg.max_depth + 1 + s.icfg.null_extra
+            self.D = LS.dims_per_sample(n_steps)
         P = s.width * s.height
         self.splat = jnp.zeros((P, 3))
         self.n_mut = 0
@@ -62,6 +83,8 @@ class MLTRenderer(AltRenderer):
 
     # -- f(U): luminance + rgb + pixel of the path U encodes -------------
     def _f(self, U):
+        if self._bdpt is not None:
+            return self._f_bdpt(U)
         s = self.s
         C = U.shape[0]
         px = jnp.clip(U[:, 0] * s.width, 0.0, s.width - 1e-3)

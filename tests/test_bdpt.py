@@ -144,3 +144,46 @@ def test_bdpt_strategies_all_finite(tmp_path):
                 "s.pbrt")
     assert np.isfinite(f).all()
     assert (f >= 0).all()
+
+
+def _env_scene(integrator: str, spp: int, maxdepth: int = 4,
+               size: int = 10, with_floor: bool = True) -> str:
+    floor = (
+        'Material "matte" "rgb Kd" [0.5 0.5 0.5]\n'
+        'Shape "trianglemesh" "integer indices" [0 1 2 0 2 3] "point P" '
+        "[-4 -1 -4  4 -1 -4  4 -1 4  -4 -1 4]\n"
+    ) if with_floor else ""
+    return (
+        f'Integrator "{integrator}" "integer maxdepth" [{maxdepth}] '
+        '"integer iterations" [1] "bool expiterations" ["false"]\n'
+        f'Sampler "random" "integer pixelsamples" [{spp}]\n'
+        f'Film "image" "integer xresolution" [{size}] '
+        f'"integer yresolution" [{size}]\n'
+        "LookAt 0 0.5 -3  0 0 0  0 1 0\n"
+        'Camera "perspective" "float fov" [60]\n'
+        "WorldBegin\n"
+        'LightSource "infinite" "rgb L" [1 1 1]\n' + floor + "WorldEnd\n"
+    )
+
+
+def test_bdpt_infinite_light_direct(tmp_path):
+    """All camera rays escape into a constant L=1 environment: the
+    (s=0, t=2) strategy must reproduce it exactly (weight 1), i.e. the
+    escaped-ray light vertex exists (bdpt.cpp:962-1000)."""
+    f = _render(_env_scene("bdpt", 8, with_floor=False), tmp_path,
+                "e.pbrt")
+    assert np.isfinite(f).all()
+    np.testing.assert_allclose(f, 1.0, atol=1e-3)
+
+
+def test_bdpt_infinite_light_matches_path(tmp_path):
+    """Env-lit floor: bdpt's strategy mixture (s=0 escaped vertices +
+    s=1 env NEE + surface connections) estimates the same integral as
+    unidirectional path tracing."""
+    f_path = _render(_env_scene("path", 128), tmp_path, "p.pbrt")
+    f_bdpt = _render(_env_scene("bdpt", 128), tmp_path, "b.pbrt")
+    assert np.isfinite(f_bdpt).all()
+    rel = abs(f_bdpt.mean() - f_path.mean()) / f_path.mean()
+    assert rel < 0.05, (
+        f"bdpt {f_bdpt.mean():.4f} vs path {f_path.mean():.4f}"
+    )
