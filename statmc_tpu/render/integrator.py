@@ -190,7 +190,11 @@ def _bounce_step(scene, bvh, dist, cfg: IntegratorConfig, carry, step,
         # fused kernel's per-tile cull sees a whole-dead ray tile as
         # unable to vote for any triangle tile and skips the dots.
         tmax_live = jnp.where(active, cm.INF, 0.0)
-        hit = intersect_scene(scene, o, d, t_max=tmax_live, bvh=bvh)
+        # Exact replay needs pbrt's BSDF frame at EVERY vertex (ss =
+        # normalize(dpdu), core/reflection.h) so cosine-sampled world
+        # directions match the reference draw-for-draw.
+        hit = intersect_scene(scene, o, d, t_max=tmax_live, bvh=bvh,
+                              want_tangent=True if exact else None)
         found = hit.found & active
 
         # --- emitted light at the vertex (bounce 0 or after specular) ---

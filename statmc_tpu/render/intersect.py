@@ -97,7 +97,8 @@ def ray_spheres(o: Array, d: Array, center: Array, radius: Array,
 
 
 def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx,
-                  lean: bool = False) -> Hit:
+                  lean: bool = False,
+                  want_tangent: bool | None = None) -> Hit:
     """Gather hit attributes for the closest primitives.
 
     lean=True skips the shading-only attributes (uv, material id,
@@ -113,7 +114,12 @@ def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx,
     from ..scene.build import scene_has_hair
     from ..scene.textures import has_image_textures
 
-    want_tangent = (not lean) and scene_has_hair(scene)
+    # want_tangent=None -> hair scenes only (the Marschner frame);
+    # exact-lockstep parity forces it on so every BSDF frame is
+    # pbrt's ss=normalize(dpdu) frame (core/reflection.h BSDF ctor).
+    if want_tangent is None:
+        want_tangent = scene_has_hair(scene)
+    want_tangent = (not lean) and want_tangent
     want_axes = (not lean) and has_image_textures(scene.textures)
     tangent = None
     uv_axes = None
@@ -350,7 +356,8 @@ def _dense_closest_tris(scene, o, d, t_best):
 
 
 def intersect_dense(scene: SceneTables, o: Array, d: Array,
-                    t_max: Array | None = None, lean: bool = False) -> Hit:
+                    t_max: Array | None = None, lean: bool = False,
+                    want_tangent: bool | None = None) -> Hit:
     """Closest-hit against every primitive via chunked all-pairs testing.
 
     This is the TPU fast path for small/medium scenes: pure dense VPU
@@ -396,7 +403,8 @@ def intersect_dense(scene: SceneTables, o: Array, d: Array,
         kind = kind.reshape(-1)[:R]
         idx = idx.reshape(-1)[:R]
 
-    return _assemble_hit(scene, o, d, t_best, kind, idx, lean=lean)
+    return _assemble_hit(scene, o, d, t_best, kind, idx, lean=lean,
+                         want_tangent=want_tangent)
 
 
 def _bvh_intersect(bvh, scene, o, d, t_max, any_hit=False):
@@ -426,14 +434,16 @@ def _bvh_intersect(bvh, scene, o, d, t_max, any_hit=False):
 
 def intersect_scene(scene: SceneTables, o: Array, d: Array,
                     t_max: Array | None = None, bvh=None,
-                    lean: bool = False) -> Hit:
+                    lean: bool = False,
+                    want_tangent: bool | None = None) -> Hit:
     """Closest hit via BVH for triangles (when provided) + dense spheres.
 
     lean=True returns a light-probe Hit (found/t/p/ng/light_id only;
     uv/mat_id/ns-interp/uv_density zeroed) -- the cheap assembly for
     BSDF-MIS rays that only need emitted radiance + light pdf."""
     if bvh is None:
-        return intersect_dense(scene, o, d, t_max, lean=lean)
+        return intersect_dense(scene, o, d, t_max, lean=lean,
+                               want_tangent=want_tangent)
 
     R = o.shape[0]
     if t_max is None:
@@ -459,7 +469,8 @@ def intersect_scene(scene: SceneTables, o: Array, d: Array,
         kind = jnp.where(better, PRIM_TRI, kind)
         idx = jnp.where(better, tid, idx)
 
-    return _assemble_hit(scene, o, d, t_best, kind, idx, lean=lean)
+    return _assemble_hit(scene, o, d, t_best, kind, idx, lean=lean,
+                         want_tangent=want_tangent)
 
 
 def occluded_scene(scene: SceneTables, o: Array, d: Array, t_max: Array,

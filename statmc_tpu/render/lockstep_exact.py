@@ -136,3 +136,41 @@ def render_exact(scene, bvh, dist, cfg: IntegratorConfig, cam,
         cursor_start=out_cs, cursor_end=out_ce, u_cam=out_uc,
         radiance=out_ls, film=out_ls.mean(axis=1),
     )
+
+
+def moments_from_samples(ls: np.ndarray, bc_lambda: float | None = 0.5):
+    """Per-pixel (n, mean, m2, m3) over the sample axis in the
+    reference's exact accumulation order and precision.
+
+    Reproduces StatTile::AddStatSampleM3 (estimator.h:188-205): Meng's
+    single-pass update in f32, samples applied in their in-pixel order
+    (pbrt accumulates each pixel's spp samples back-to-back).  With
+    bc_lambda set, samples pass through the Box-Cox transform first
+    (estimator.h:135-145, the Radiance config's transform=true path);
+    None skips it (the film-mean/film-m2 untransformed track).
+
+    ls: [P, S, C] per-sample values (ExactReplay.radiance).
+    Returns (n [P], mean [P, C], m2 [P, C], m3 [P, C]) float32.
+    """
+    P, S, C = ls.shape
+    x = ls.astype(np.float32)
+    if bc_lambda is not None:
+        lam = np.float32(bc_lambda)
+        x = (np.power(np.maximum(x, 0.0), lam, dtype=np.float32)
+             - np.float32(1.0)) / lam
+    n = np.zeros((P,), np.float32)
+    mean = np.zeros((P, C), np.float32)
+    m2 = np.zeros((P, C), np.float32)
+    m3 = np.zeros((P, C), np.float32)
+    for s in range(S):
+        v = x[:, s]
+        n += 1
+        d = v - mean
+        d2 = d * d
+        dN = d / n[:, None]
+        dN2 = dN * dN
+        mean += dN
+        m2 += d * (d - dN)
+        # estimator.h:204: m3 reads the ALREADY-UPDATED m2.
+        m3 += -np.float32(3.0) * dN * m2 + d * (d2 - dN2)
+    return n, mean, m2, m3
