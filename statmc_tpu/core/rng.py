@@ -38,6 +38,7 @@ SLOT_MEDIUM = 8  # 2D: channel select + distance (homogeneous.cpp:55-58)
 SLOT_PHASE = 9  # 2D Henyey-Greenstein direction sample
 SLOT_PHASE_NEE = 10  # 2D phase half of EstimateDirect at a medium vertex
 SLOT_TR = 11  # base for tracking-loop draws (fold the iteration index)
+SLOT_LENS = 12  # 2D exit-pupil sample (realistic camera)
 
 
 def base_key(base_seed: int) -> Array:

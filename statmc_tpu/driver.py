@@ -134,9 +134,30 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
         cam = CAM.make_orthographic(desc.camera_to_world, width, height, sw)
     elif desc.camera_name == "environment":
         cam = CAM.make_environment(desc.camera_to_world, width, height)
+    elif desc.camera_name == "realistic":
+        # Camera "realistic" (src/cameras/realistic.cpp): lens element
+        # tracing + exit-pupil sampling (render/realistic.py).
+        lf = str(desc.camera_params.find_one("lensfile", ""))
+        if not lf:
+            raise ValueError('Camera "realistic" requires "lensfile"')
+        import os as _os
+
+        if not _os.path.isabs(lf):
+            lf = _os.path.join(desc.cwd, lf)
+        rows = []
+        with open(lf) as f:
+            for line in f:
+                line = line.split("#", 1)[0]
+                rows.extend(float(tok) for tok in line.split())
+        cam = CAM.make_realistic(
+            desc.camera_to_world, np.asarray(rows, np.float64),
+            width, height,
+            float(desc.camera_params.find_one("aperturediameter", 1.0)),
+            float(desc.camera_params.find_one("focusdistance", 10.0)),
+            float(desc.film_params.find_one("diagonal", 35.0)),
+        )
     else:
-        # perspective (realistic lens files are out of scope; pbrt's
-        # "realistic" falls back to a matching-fov perspective).
+        # perspective
         fov = float(desc.camera_params.find_one("fov", 90.0))
         cam = CAM.make_perspective(desc.camera_to_world, fov, width,
                                    height, sw)
@@ -303,13 +324,23 @@ def make_sample_fn(setup: RenderSetup):
         # with weight 1 (api.cpp:1703-1727 enforces this for statpath;
         # film accumulation degenerates to per-pixel averaging).
         p_film = jnp.stack([px, py], axis=-1) + u_cam
-        o, d = CAM.generate_rays(cam, p_film)
+        if cam.lens is not None:
+            # Realistic camera: pupil sample + per-ray We weight
+            # (realistic.cpp:GenerateRay); the weight scales every
+            # statistic of the sample, so fold it into ls wholesale.
+            u_lens = crng.draw_2d(keys, ld, mode, 0, crng.SLOT_LENS)
+            o, d, cam_w = CAM.generate_rays_weighted(cam, p_film, u_lens)
+        else:
+            o, d = CAM.generate_rays(cam, p_film)
+            cam_w = None
         out = trace_fn(
             scene, bvh, dist, icfg, o, d, keys,
             avg_ls, win_b, win_l, feedback_on,
             albedo_luts=setup.albedo_luts,
             ld_stream=ld,
         )
+        if cam_w is not None:
+            out = out._replace(ls=out.ls * cam_w[:, None, None])
         L = out.ls[:, 0, :]
         # STAT counters (core/stats.h macro equivalents; statpath.cpp:29-31):
         # nCameraRays, zeroRadiancePaths/totalPaths, pathLength moments.
@@ -632,7 +663,10 @@ class Renderer:
             # Volumetric scenes pin it too (the media-aware scan lives
             # in make_sample_fn; regeneration of it is future work).
             if (setup.icfg.sampler_mode == crng.MODE_LOCKSTEP
-                    or setup.icfg.volumetric):
+                    or setup.icfg.volumetric
+                    # Realistic cameras carry a per-sample We weight the
+                    # regeneration carry does not thread yet.
+                    or setup.cam.lens is not None):
                 regen = False
             self.chunk_fn = (make_regen_chunk_fn(setup) if regen
                              else make_chunk_fn(setup))
@@ -1203,11 +1237,12 @@ def load(scene_path: str, base_seed: int = 0,
     warning (also via env STATMC_STRICT_ASSETS=1)."""
     desc = parse_scene(scene_path)
     name = desc.integrator_name
-    if name in ("bdpt", "mlt", "sppm"):
+    if name in ("bdpt", "mlt", "sppm", "ao"):
         # Honest dispatch: these are distinct light-transport algorithms
-        # (src/integrators/bdpt.cpp, mlt.cpp, sppm.cpp), not aliases of
-        # unidirectional path tracing.  Their wavefront drivers live in
-        # render/{bdpt,pssmlt,sppm}.py behind make_alt_renderer.
+        # (src/integrators/bdpt.cpp, mlt.cpp, sppm.cpp, ao.cpp), not
+        # aliases of unidirectional path tracing.  Their wavefront
+        # drivers live in render/{bdpt,pssmlt,sppm,ao}.py behind
+        # make_alt_renderer.
         from .render.alt_integrators import make_alt_renderer
 
         return make_alt_renderer(name, desc, base_seed,

@@ -135,6 +135,10 @@ def make_alt_renderer(name: str, desc, base_seed: int = 0,
             from .pssmlt import MLTRenderer
 
             return MLTRenderer(desc, base_seed, force_dense=force_dense)
+        if name == "ao":
+            from .ao import AORenderer
+
+            return AORenderer(desc, base_seed, force_dense=force_dense)
     except ImportError as e:
         raise NotImplementedError(
             f"integrator {name!r}: wavefront driver not built yet; "

@@ -26,6 +26,10 @@ class CameraParams(NamedTuple):
     orthographic: bool
     environment: bool = False
     inv_res: Any = None  # [2] 1/xres, 1/yres (environment mapping)
+    # Realistic lens system (render/realistic.py LensSystem); non-None
+    # routes generate_rays_weighted through the element trace.
+    lens: Any = None
+    res: Any = None  # [2] xres, yres (realistic raster mapping)
 
 
 def _screen_to_raster(screen, xres, yres):
@@ -127,7 +131,16 @@ def make_perspective(camera_to_world: np.ndarray, fov_deg: float,
 
 
 def generate_rays(cam: CameraParams, p_film: Array) -> tuple[Array, Array]:
-    """p_film: [R,2] raster coords (continuous). Returns (o, d) world."""
+    """p_film: [R,2] raster coords (continuous). Returns (o, d) world.
+
+    Realistic cameras need a lens sample and carry a per-ray weight;
+    this wrapper uses the pupil-rect centre and drops the weight (the
+    probe/ray-cone call sites).  Weighted paths use
+    generate_rays_weighted."""
+    if cam.lens is not None:
+        o, d, _ = generate_rays_weighted(
+            cam, p_film, jnp.full(p_film.shape, 0.5))
+        return o, d
     if cam.environment:
         # environment.cpp:GenerateRay: theta over rows, phi over cols.
         theta = jnp.pi * p_film[..., 1] * cam.inv_res[1]
@@ -151,3 +164,42 @@ def generate_rays(cam: CameraParams, p_film: Array) -> tuple[Array, Array]:
     o = cm.transform_point(cam.camera_to_world, o_cam)
     d = cm.normalize(cm.transform_vector(cam.camera_to_world, d_cam))
     return o, d
+
+
+def generate_rays_weighted(cam: CameraParams, p_film: Array,
+                           u_lens: Array) -> tuple[Array, Array, Array]:
+    """(o, d, weight): realistic cameras trace the lens system with the
+    given pupil sample (realistic.cpp:GenerateRay); other models return
+    weight 1 (their We is folded into the projective mapping)."""
+    if cam.lens is not None:
+        from .realistic import generate_rays_realistic
+
+        return generate_rays_realistic(
+            cam.lens, cam.camera_to_world,
+            float(cam.res[0]), float(cam.res[1]), p_film, u_lens)
+    o, d = generate_rays(cam, p_film)
+    return o, d, jnp.ones(p_film.shape[:-1])
+
+
+def make_realistic(camera_to_world: np.ndarray, lens_rows, xres: int,
+                   yres: int, aperture_diameter_mm: float,
+                   focus_distance: float, film_diag_mm: float
+                   ) -> CameraParams:
+    """Camera "realistic" (src/cameras/realistic.cpp): lens prescription
+    + thick-lens autofocus + exit-pupil tables (render/realistic.py)."""
+    from .realistic import make_lens_system
+
+    lens = make_lens_system(
+        np.asarray(lens_rows, np.float64), aperture_diameter_mm,
+        focus_distance, film_diag_mm * 1e-3, xres, yres)
+    eye = np.eye(4, dtype=np.float32)
+    return CameraParams(
+        raster_to_camera=jnp.asarray(eye),
+        camera_to_world=jnp.asarray(
+            np.asarray(camera_to_world, np.float32)),
+        dx_camera=jnp.zeros(3),
+        dy_camera=jnp.zeros(3),
+        orthographic=False,
+        lens=lens,
+        res=np.asarray([xres, yres], np.float32),
+    )
