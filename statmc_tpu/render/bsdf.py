@@ -527,15 +527,20 @@ def evaluate(m: MaterialLanes, wo: Array, wi: Array) -> tuple[Array, Array]:
 
     # Real FourierBSDF tables override the substrate-fallback f for
     # fourier lanes (render/fourier.py eval, reflection.cpp:322-377);
-    # the pdf stays the substrate proposal actually sampled -- unbiased
-    # MIS with a table-true f.  Applied after the refl mask because the
-    # table itself encodes sidedness (including transmission lobes).
+    # the pdf is the table pdf (matching the table sampler below).
+    # Applied after the refl mask because the table itself encodes
+    # sidedness (including transmission lobes).
     if m.fourier_tab is not None:
         from . import fourier as _fourier
 
         fe = _fourier.eval_f(m.fourier_tab, m.fourier_id, wo, wi)
         sel = (t == sb.MAT_FOURIER) & (m.fourier_id >= 0)
         f = jnp.where(sel[..., None], fe, f)
+        # Table-true pdf to match the table sampler (Sample_f/Pdf pair,
+        # reflection.cpp:379-427 + 429-480).
+        pdf = jnp.where(
+            sel, _fourier.pdf_wi(m.fourier_tab, m.fourier_id, wo, wi),
+            pdf)
 
     # Full Marschner hair (render/hair.py) overrides the fallback lobe
     # pair when the scene has hair materials.  Applied after the refl
@@ -655,6 +660,18 @@ def sample(m: MaterialLanes, wo: Array, u2: Array, uc: Array) -> BSDFSample:
 
         wi_hair = _hair.sample_wi(_hair_lanes(m), wo, u2, uc)
         wi = jnp.where((t == sb.MAT_HAIR)[..., None], wi_hair, wi)
+    if m.fourier_tab is not None:
+        # Real .bsdf tables sample their own tabulated distribution
+        # (SampleCatmullRom2D + SampleFourier, reflection.cpp:429-480);
+        # evaluate() returns the matching table pdf, so f/pdf stay a
+        # consistent MIS pair.  Lanes without a table keep the
+        # substrate proposal.
+        from . import fourier as _fourier
+
+        sel_ft = (t == sb.MAT_FOURIER) & (m.fourier_id >= 0)
+        wi_ft, _ = _fourier.sample_wi(m.fourier_tab, m.fourier_id, wo,
+                                      u2)
+        wi = jnp.where(sel_ft[..., None], wi_ft, wi)
 
     f_eval, pdf_eval = evaluate(m, wo, wi)
 

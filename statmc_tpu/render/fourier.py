@@ -21,12 +21,13 @@ cosine series in the azimuth difference, Y/R/B channel layout with the
 green reconstruction G = 1.39829 Y - 0.100913 B - 0.297375 R, the
 1/|muI| scale, and the radiance-mode eta^2 adjoint factor.
 
-Sampling: the wavefront integrator keeps its substrate-style
-(cosine + microfacet) proposal for fourier lanes (render/bsdf.py) and
-only the evaluated f comes from the table -- unbiased MIS (the pdf
-describes the proposal actually drawn), trading pbrt's
-SampleCatmullRom2D importance fit for a dispatch with no ragged
-per-lane CDF walks.
+Sampling: fourier lanes importance-sample their own tabulated
+distribution (sample_wi/pdf_wi below): SampleCatmullRom2D inversion of
+the interpolated muI marginal CDF + SampleFourier Newton-bisection of
+the azimuth series (interpolation.cpp:217-290, 292-361,
+reflection.cpp:379-480), run as FIXED-iteration branch-free loops over
+all lanes.  Near-specular tables (alum.bsdf-class) therefore sample
+their own lobes instead of a broad proposal.
 """
 from __future__ import annotations
 
@@ -131,10 +132,31 @@ def write_bsdf(path: str, mu: np.ndarray, ak_list, eta: float = 1.0,
                 m_max = max(m_max, m)
     a = (np.concatenate(coeffs) if coeffs
          else np.zeros((0,), np.float32))
-    # A crude uniform CDF (only sampling quality, not correctness,
-    # depends on it).
-    cdf = np.tile(np.linspace(0.0, 1.0, n_mu, dtype=np.float32),
-                  (n_mu, 1))
+    # Marginal CDF rows per muO: IntegrateCatmullRom of the order-0
+    # luminance coefficient over muI (interpolation.cpp:293-322) -- the
+    # table the importance sampler inverts, so it must be the true
+    # integral of the a0 spline.
+    a0 = np.zeros((n_mu, n_mu), np.float64)
+    for o in range(n_mu):
+        for i in range(n_mu):
+            blk = np.asarray(ak_list[i][o], np.float64).reshape(
+                n_channels, -1)
+            a0[o, i] = blk[0, 0] if blk.size else 0.0
+    x = np.asarray(mu, np.float64)
+    cdf = np.zeros((n_mu, n_mu), np.float64)
+    for o in range(n_mu):
+        vals = a0[o]
+        for i in range(n_mu - 1):
+            x0, x1 = x[i], x[i + 1]
+            f0, f1 = vals[i], vals[i + 1]
+            width = x1 - x0
+            d0 = (width * (f1 - vals[i - 1]) / (x1 - x[i - 1])
+                  if i > 0 else f1 - f0)
+            d1 = (width * (vals[i + 2] - f0) / (x[i + 2] - x0)
+                  if i + 2 < n_mu else f1 - f0)
+            cdf[o, i + 1] = cdf[o, i] + (
+                (d0 - d1) / 12.0 + (f0 + f1) * 0.5) * width
+    cdf = cdf.astype(np.float32)
     with open(path, "wb") as f:
         f.write(_HEADER)
         f.write(np.asarray(
@@ -159,6 +181,9 @@ class FourierTables(NamedTuple):
     ak: Any      # [F, nMuP, nMuP, 3, MP]  (1-channel files replicated)
     eta: Any     # [F]
     n_channels: Any  # [F] int32
+    # Importance-sampling tables (reflection.cpp:379-427 Sample_f/Pdf):
+    cdf: Any = None   # [F, nMuP, nMuP] marginal CDF rows (muO-major)
+    a0: Any = None    # [F, nMuP, nMuP] order-0 luminance coefficient
 
 
 def stack_tables(files: list[FourierFile]) -> FourierTables:
@@ -170,6 +195,7 @@ def stack_tables(files: list[FourierFile]) -> FourierTables:
     n_mu = np.zeros((F,), np.int32)
     eta = np.zeros((F,), np.float32)
     nch = np.zeros((F,), np.int32)
+    cdf = np.zeros((F, n_mu_p, n_mu_p), np.float32)
     for i, fl in enumerate(files):
         n = fl.mu.shape[0]
         mu[i, :n] = fl.mu
@@ -178,12 +204,20 @@ def stack_tables(files: list[FourierFile]) -> FourierTables:
         if fl.n_channels == 1:
             a = np.repeat(a, 3, axis=2)
         ak[i, :n, :n, :, :a.shape[-1]] = a
+        cdf[i, :n, :n] = fl.cdf
+        # Pad columns with the row maximum so FindInterval never lands
+        # past the true node range.
+        if n < n_mu_p:
+            cdf[i, :n, n:] = fl.cdf[:, -1:]
         n_mu[i] = n
         eta[i] = fl.eta
         nch[i] = fl.n_channels
+    a0 = ak[:, :, :, 0, 0]  # Y-channel order-0 coefficient (muO-major)
     return FourierTables(mu=jnp.asarray(mu), n_mu=jnp.asarray(n_mu),
                          ak=jnp.asarray(ak), eta=jnp.asarray(eta),
-                         n_channels=jnp.asarray(nch))
+                         n_channels=jnp.asarray(nch),
+                         cdf=jnp.asarray(cdf),
+                         a0=jnp.asarray(np.ascontiguousarray(a0)))
 
 
 def _catmull_rom_weights(nodes: Array, n: Array, x: Array):
@@ -321,3 +355,197 @@ def lambertian_file(albedo, n_mu: int = 16) -> tuple[np.ndarray, list]:
                 ak[o][i] = (chans[:, None] / np.pi
                             * np.float32(abs(mi)))
     return mu, ak
+
+
+# ---------------------------------------------------------------------------
+# Importance sampling (reflection.cpp:379-427 FourierBSDF::Sample_f/Pdf,
+# interpolation.cpp:217-290 SampleCatmullRom2D, :292-361 SampleFourier).
+# Newton-bisection loops run a FIXED iteration count over all lanes --
+# the branch-free TPU shape of pbrt's while-loops; 16 iterations halve
+# the bracket to ~1e-5, matching pbrt's 1e-6 break in practice.
+# ---------------------------------------------------------------------------
+
+
+def _interp_over_muo(flat_rows, f, oo, wO, nP):
+    """sum_b wO[:, b] * table[f, clip(oo+b), :] for a [F*nP, nP] flat
+    table -- the `interpolate` lambda of SampleCatmullRom2D."""
+    out = 0.0
+    for b in range(4):
+        rows = jnp.take(flat_rows,
+                        f * nP + jnp.clip(oo + b, 0, nP - 1), axis=0)
+        out = out + wO[:, b:b + 1] * rows
+    return out
+
+
+def sample_mu_i(tab: FourierTables, fid: Array, mu_o: Array, u: Array):
+    """SampleCatmullRom2D over the muI marginal: returns
+    (mu_i [R], pdf_mu [R], ok [R])."""
+    R = mu_o.shape[0]
+    f = jnp.maximum(fid, 0)
+    nP = tab.mu.shape[1]
+    mu_rows = jnp.take(tab.mu, f, axis=0)
+    n_rows = jnp.take(tab.n_mu, f, axis=0)
+    oo, wO, okO = _catmull_rom_weights(mu_rows, n_rows, mu_o)
+
+    cdf_flat = tab.cdf.reshape(-1, nP)
+    a0_flat = tab.a0.reshape(-1, nP)
+    cdf_i = _interp_over_muo(cdf_flat, f, oo, wO, nP)   # [R, nP]
+    a0_i = _interp_over_muo(a0_flat, f, oo, wO, nP)
+
+    maximum = jnp.take_along_axis(cdf_i, (n_rows - 1)[:, None],
+                                  axis=1)[:, 0]
+    ok = okO & (maximum > 0)
+    uu = u * maximum
+    valid_col = jnp.arange(nP)[None, :] < n_rows[:, None]
+    le = (cdf_i <= uu[:, None]) & valid_col
+    idx = jnp.clip(jnp.sum(le, axis=1) - 1, 0, jnp.maximum(n_rows - 2, 0))
+
+    take = lambda arr, i: jnp.take_along_axis(
+        arr, jnp.clip(i, 0, nP - 1)[:, None], axis=1)[:, 0]
+    f0 = take(a0_i, idx)
+    f1 = take(a0_i, idx + 1)
+    x0 = take(mu_rows, idx)
+    x1 = take(mu_rows, idx + 1)
+    width = jnp.maximum(x1 - x0, 1e-12)
+    uu = (uu - take(cdf_i, idx)) / width
+    d0 = jnp.where(idx > 0,
+                   width * (f1 - take(a0_i, idx - 1))
+                   / jnp.maximum(x1 - take(mu_rows, idx - 1), 1e-12),
+                   f1 - f0)
+    d1 = jnp.where(idx + 2 < n_rows,
+                   width * (take(a0_i, idx + 2) - f0)
+                   / jnp.maximum(take(mu_rows, idx + 2) - x0, 1e-12),
+                   f1 - f0)
+
+    # Hermite-segment inversion (interpolation.cpp:246-286).
+    t = jnp.where(
+        jnp.abs(f0 - f1) > 1e-12,
+        (f0 - jnp.sqrt(jnp.maximum(
+            0.0, f0 * f0 + 2.0 * uu * (f1 - f0)))) /
+        jnp.where(jnp.abs(f0 - f1) > 1e-12, f0 - f1, 1.0),
+        uu / jnp.maximum(f0, 1e-12))
+    a = jnp.zeros((R,))
+    b = jnp.ones((R,))
+    fhat = f0
+    for _ in range(16):
+        t = jnp.where((t >= a) & (t <= b), t, 0.5 * (a + b))
+        Fhat = t * (f0 + t * (0.5 * d0
+                              + t * ((1.0 / 3.0) * (-2 * d0 - d1)
+                                     + f1 - f0
+                                     + t * (0.25 * (d0 + d1)
+                                            + 0.5 * (f0 - f1)))))
+        fhat = f0 + t * (d0 + t * (-2 * d0 - d1 + 3 * (f1 - f0)
+                                   + t * (d0 + d1 + 2 * (f0 - f1))))
+        below = Fhat - uu < 0
+        a = jnp.where(below, t, a)
+        b = jnp.where(below, b, t)
+        t = t - (Fhat - uu) / jnp.where(jnp.abs(fhat) > 1e-12, fhat, 1.0)
+    pdf_mu = jnp.where(ok, jnp.maximum(fhat, 0.0)
+                       / jnp.maximum(maximum, 1e-20), 0.0)
+    return x0 + width * jnp.clip(t, 0.0, 1.0), pdf_mu, ok
+
+
+def _luminance_ak(tab: FourierTables, f, mu_i, mu_o):
+    """4x4-interpolated Y-channel coefficient vector [R, MP] + ok."""
+    nP = tab.mu.shape[1]
+    MP = tab.ak.shape[-1]
+    mu_rows = jnp.take(tab.mu, f, axis=0)
+    n_rows = jnp.take(tab.n_mu, f, axis=0)
+    oi, wI, okI = _catmull_rom_weights(mu_rows, n_rows, mu_i)
+    oo, wO, okO = _catmull_rom_weights(mu_rows, n_rows, mu_o)
+    akY_flat = tab.ak[:, :, :, 0, :].reshape(-1, MP)
+    acc = jnp.zeros((mu_i.shape[0], MP))
+    for b in range(4):
+        for a in range(4):
+            w = (wI[:, a] * wO[:, b])[:, None]
+            ii = jnp.clip(oi + a, 0, nP - 1)
+            jj = jnp.clip(oo + b, 0, nP - 1)
+            acc = acc + w * jnp.take(akY_flat, (f * nP + jj) * nP + ii,
+                                     axis=0)
+    return acc, okI & okO, oo, wO
+
+
+def _sample_fourier_phi(akY: Array, u: Array):
+    """SampleFourier (interpolation.cpp:292-361): invert
+    F(phi) = a0 phi + sum ak sin(k phi)/k on [0, pi]."""
+    R, MP = akY.shape
+    flip = u >= 0.5
+    uu = jnp.where(flip, 1.0 - 2.0 * (u - 0.5), 2.0 * u)
+    ks = jnp.arange(MP, dtype=jnp.float32)
+    recip = jnp.where(ks > 0, 1.0 / jnp.maximum(ks, 1.0), 0.0)
+    a = jnp.zeros((R,))
+    b = jnp.full((R,), jnp.pi)
+    phi = jnp.full((R,), 0.5 * jnp.pi)
+    a0 = akY[:, 0]
+    fv = a0
+    for _ in range(20):
+        kphi = ks[None, :] * phi[:, None]
+        F = a0 * phi + jnp.sum(akY[:, 1:] * recip[None, 1:]
+                               * jnp.sin(kphi[:, 1:]), axis=1)
+        fv = jnp.sum(akY * jnp.cos(kphi), axis=1)
+        F = F - uu * a0 * jnp.pi
+        hi = F > 0
+        b = jnp.where(hi, phi, b)
+        a = jnp.where(hi, a, phi)
+        step = phi - F / jnp.where(jnp.abs(fv) > 1e-12, fv, 1.0)
+        inb = (step > a) & (step < b) & jnp.isfinite(step)
+        phi = jnp.where(inb, step, 0.5 * (a + b))
+    pdf_phi = jnp.where(a0 > 0, (0.5 / jnp.pi) * fv
+                        / jnp.maximum(a0, 1e-20), 0.0)
+    phi = jnp.where(flip, 2.0 * jnp.pi - phi, phi)
+    return phi, jnp.maximum(pdf_phi, 0.0)
+
+
+def sample_wi(tab: FourierTables, fid: Array, wo: Array, u2: Array):
+    """FourierBSDF::Sample_f direction (reflection.cpp:429-480):
+    returns (wi [R,3], pdf [R])."""
+    mu_o = wo[:, 2]
+    mu_i, pdf_mu, ok_mu = sample_mu_i(tab, jnp.maximum(fid, 0), mu_o,
+                                      u2[:, 1])
+    f = jnp.maximum(fid, 0)
+    akY, ok_ak, _, _ = _luminance_ak(tab, f, mu_i, mu_o)
+    phi, pdf_phi = _sample_fourier_phi(akY, u2[:, 0])
+    sin2_i = jnp.maximum(0.0, 1.0 - mu_i * mu_i)
+    sin2_o = jnp.maximum(wo[:, 0] ** 2 + wo[:, 1] ** 2, 1e-20)
+    norm = jnp.sqrt(sin2_i / sin2_o)
+    norm = jnp.where(jnp.isfinite(norm), norm, 0.0)
+    sp, cp = jnp.sin(phi), jnp.cos(phi)
+    wi = -jnp.stack([norm * (cp * wo[:, 0] - sp * wo[:, 1]),
+                     norm * (sp * wo[:, 0] + cp * wo[:, 1]),
+                     mu_i], axis=-1)
+    wi = wi / jnp.maximum(
+        jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-12)
+    pdf = jnp.where(ok_mu & ok_ak,
+                    jnp.maximum(pdf_mu * pdf_phi, 0.0), 0.0)
+    return wi, pdf
+
+
+def pdf_wi(tab: FourierTables, fid: Array, wo: Array, wi: Array) -> Array:
+    """FourierBSDF::Pdf (reflection.cpp:379-427)."""
+    f = jnp.maximum(fid, 0)
+    nP = tab.mu.shape[1]
+    mu_i = -wi[:, 2]
+    mu_o = wo[:, 2]
+    akY, ok, oo, wO = _luminance_ak(tab, f, mu_i, mu_o)
+    # CosDPhi(-wi, wo).
+    num = wi[:, 0] * wo[:, 0] + wi[:, 1] * wo[:, 1]
+    den2 = ((wi[:, 0] ** 2 + wi[:, 1] ** 2)
+            * (wo[:, 0] ** 2 + wo[:, 1] ** 2))
+    cos_phi = jnp.where(den2 > 1e-20,
+                        jnp.clip(-num / jnp.sqrt(jnp.maximum(den2, 1e-20)),
+                                 -1.0, 1.0), 1.0)
+    MP = akY.shape[1]
+    phi = jnp.arccos(cos_phi)
+    Y = jnp.sum(akY * jnp.cos(jnp.arange(MP)[None, :] * phi[:, None]),
+                axis=1)
+    n_rows = jnp.take(tab.n_mu, f, axis=0)
+    cdf_flat = tab.cdf.reshape(-1, nP)
+    rho = 0.0
+    for b in range(4):
+        row = jnp.take(cdf_flat, f * nP + jnp.clip(oo + b, 0, nP - 1),
+                       axis=0)
+        last = jnp.take_along_axis(row, (n_rows - 1)[:, None],
+                                   axis=1)[:, 0]
+        rho = rho + wO[:, b] * last * (2.0 * jnp.pi)
+    return jnp.where(ok & (rho > 0) & (Y > 0),
+                     Y / jnp.maximum(rho, 1e-20), 0.0)
