@@ -85,12 +85,30 @@ def _bench_terrain():
     r.reset()
     log = r.render(iterations=1, verbose=False)[0]
     rays_per_s = log["rays_total"] / log["render_s"]
-    return {
+    out = {
         "terrain_131k_rays_per_s": round(rays_per_s, 1),
         "terrain_tris": int(n_tris),
         "terrain_render_s": round(log["render_s"], 3),
         "terrain_vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
     }
+    del r
+
+    # ~1M-triangle line (round-3 verdict #2): n=708 -> 707^2*2 tris,
+    # the top of MAX_TILES * TRI_TILE for the two-level dispatch.
+    text = terrain_scene_text(width=WIDTH, height=HEIGHT, spp=2,
+                              iterations=1, maxdepth=8, n=708)
+    path = tmp + "/terrain-1m.pbrt"
+    with open(path, "w") as f:
+        f.write(text)
+    r = load(path)
+    out["terrain_1m_tris"] = int(getattr(r.s.bvh, "n_tris", 0))
+    r.render(iterations=1, verbose=False)
+    r.reset()
+    log = r.render(iterations=1, verbose=False)[0]
+    rays_1m = log["rays_total"] / log["render_s"]
+    out["terrain_1m_rays_per_s"] = round(rays_1m, 1)
+    out["terrain_1m_render_s"] = round(log["render_s"], 3)
+    return out
 
 
 def main():
