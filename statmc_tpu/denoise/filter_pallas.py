@@ -60,7 +60,10 @@ def _filter_kernel(
     i = pl.program_id(0)
     SH = TH + 2 * r
 
-    def body(mc_s, d2_s, fm_s, gb_s, v_s, acc_s, wacc_s, sem):
+    def body(mc_s, d2_s, fm_s, v_s, acc_s, wacc_s, q_s, p_s, sem):
+        # p_s doubles as the G-buffer DMA landing slab: centers and the
+        # Q/A precomputes read it raw, then it is scaled to
+        # -2*gf_g*g_g in place for the cross-term MACs.
         # DMA the halo slabs for this row block.
         row0 = i * TH
         cps = [
@@ -75,7 +78,7 @@ def _filter_kernel(
         ]
         if G:
             cps.append(pltpu.make_async_copy(
-                gb_hbm.at[:, pl.ds(row0, SH), :], gb_s, sem.at[4]))
+                gb_hbm.at[:, pl.ds(row0, SH), :], p_s, sem.at[4]))
         for cp in cps:
             cp.start()
         for cp in cps:
@@ -84,12 +87,33 @@ def _filter_kernel(
         # Center fields (static slices).
         mc_c = [mc_s[c, r : r + TH, r : r + WC] for c in range(C)]
         d2_c = [d2_s[c, r : r + TH, r : r + WC] for c in range(C)]
-        gb_c = [gb_s[g, r : r + TH, r : r + WC] for g in range(G)]
+        gb_c = [p_s[g, r : r + TH, r : r + WC] for g in range(G)]
 
         acc_s[...] = jnp.zeros_like(acc_s)
         wacc_s[...] = jnp.zeros_like(wacc_s)
 
         side = 2 * r + 1
+
+        # Quadratic expansion of the G-buffer range term:
+        #   sum_g gf_g (g_c - g_n)^2
+        #     = A(center) + Q(neighbor) - 2 sum_g (gf_g g_c) g_n,
+        # so the per-offset inner loop is G MACs against precomputed
+        # planes instead of 3G ops, and invalid pixels ride Q = -inf
+        # (their weight exponentiates to 0, replacing the v_n multiply).
+        # The slab-level precompute amortizes over (2r+1)^2 offsets.
+        if G:
+            q = jnp.zeros((SH, WS))
+            for gg in range(G):
+                q = q + gb_factors[gg] * p_s[gg] * p_s[gg]
+            q = jnp.where(v_s[...] > 0, q, -jnp.inf)
+            q_s[...] = q
+            a_c = jnp.zeros((TH, WC))
+            for gg in range(G):
+                a_c = a_c + gb_factors[gg] * gb_c[gg] * gb_c[gg]
+            for gg in range(G):
+                p_s[gg] = p_s[gg] * (-2.0 * gb_factors[gg])
+        else:
+            q_s[...] = jnp.where(v_s[...] > 0, 0.0, -jnp.inf)
 
         # Mosaic cannot address dynamic sublane offsets (dim -2 slices
         # must be provably 8-aligned) and dynamic lane slicing is equally
@@ -106,14 +130,13 @@ def _filter_kernel(
             mc_r = [rolled(mc_s[c]) for c in range(C)]
             d2_r = [rolled(d2_s[c]) for c in range(C)]
             fm_r = [rolled(fm_s[c]) for c in range(CF)]
-            gb_r = [rolled(gb_s[g]) for g in range(G)]
-            v_r = rolled(v_s[...])
+            q_r = rolled(q_s[...])
+            p_r = [rolled(p_s[g]) for g in range(G)]
             fdx = (dx - r).astype(jnp.float32)
 
             for dy in range(side):
                 fdy = jnp.float32(dy - r)
-                w = jnp.exp(ds_factor * (fdy * fdy + fdx * fdx))
-                w = jnp.broadcast_to(w, (TH, WC))
+                sconst = ds_factor * (fdy * fdy + fdx * fdx)
                 accept = None
                 for c in range(C):
                     mc_n = mc_r[c][dy : dy + TH, 0:WC]
@@ -121,15 +144,12 @@ def _filter_kernel(
                     diff = mc_c[c] - mc_n
                     a = diff * diff <= d2_c[c] + d2_n + 1e-20
                     accept = a if accept is None else (accept & a)
-                rsum = jnp.zeros((TH, WC))
-                for g in range(G):
-                    dgb = gb_c[g] - gb_r[g][dy : dy + TH, 0:WC]
-                    # gb_factors holds one -0.5/sigma_r^2 per *plane*
-                    # (the caller repeats each buffer's factor over its
-                    # channels).
-                    rsum = rsum + gb_factors[g] * dgb * dgb
-                v_n = v_r[dy : dy + TH, 0:WC]
-                w = w * jnp.exp(rsum) * accept.astype(jnp.float32) * v_n
+                arg = q_r[dy : dy + TH, 0:WC] + sconst
+                if G:
+                    arg = arg + a_c
+                    for g in range(G):
+                        arg = arg + gb_c[g] * p_r[g][dy : dy + TH, 0:WC]
+                w = jnp.exp(arg) * accept.astype(jnp.float32)
                 wacc_s[...] += w
                 for c in range(CF):
                     acc_s[c] += w * fm_r[c][dy : dy + TH, 0:WC]
@@ -151,10 +171,11 @@ def _filter_kernel(
         pltpu.VMEM((C, SH, WS), jnp.float32),
         pltpu.VMEM((C, SH, WS), jnp.float32),
         pltpu.VMEM((CF, SH, WS), jnp.float32),
-        pltpu.VMEM((max(G, 1), SH, WS), jnp.float32),
         pltpu.VMEM((SH, WS), jnp.float32),
         pltpu.VMEM((CF, TH, WC), jnp.float32),
         pltpu.VMEM((TH, WC), jnp.float32),
+        pltpu.VMEM((SH, WS), jnp.float32),
+        pltpu.VMEM((max(G, 1), SH, WS), jnp.float32),
         pltpu.SemaphoreType.DMA((5,)),
     )
 
@@ -169,7 +190,7 @@ def _pad_planar(img_hwc, r, Hp, WS):
 @partial(jax.jit, static_argnames=(
     "radius", "ds_factor", "gb_factors", "normalize", "th", "interpret"))
 def _run_filter(mc, d2, fm, gbufs, valid, radius, ds_factor, gb_factors,
-                normalize=True, th=64, interpret=False):
+                normalize=True, th=48, interpret=False):
     """mc/d2: [H,W,C]; fm: [H,W,CF] (CF >= C: trailing planes filter
     along, e.g. the film image); gbufs: [H,W,G] flattened G-buffer
     planes; valid: [H,W].  Returns (out [H,W,CF], wsum [H,W])."""
@@ -219,9 +240,10 @@ def _run_filter(mc, d2, fm, gbufs, valid, radius, ds_factor, gb_factors,
         ],
         compiler_params=pltpu.CompilerParams(
             # Big row slabs amortize the per-offset instruction overhead
-            # (TH=64 measured 2.4x faster than 16 at r=20: 23 -> 9.7 ms at 256^2 CF=6 G=6); the slab
-            # working set exceeds the default 16M scoped-vmem cap.
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # (TH=64 measured 2.4x faster than 16 at r=20); TH=48 is the
+            # largest slab that fits with the quadratic-expansion
+            # scratch planes under the v5e VMEM budget.
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(mc_p, d2_p, fm_p, gb_p, v_p)
