@@ -11,30 +11,25 @@ Shape of the algorithm (no pointer chasing anywhere):
    tiles with conservative AABBs -- the same packing as FusedTris, but
    the edge/plane tables live in HBM, not VMEM, concatenated into ONE
    [ntt, 5, K, TRI_TILE] tensor so each tile is a single DMA.
-2. WORKLIST (XLA pre-pass, per dispatch): every ray slab-tests every
-   tile AABB ([Rt, ntt] VPU work, chunked per ray block); per 512-ray
-   block the tiles any ray can hit are sorted front-to-back by the
-   block's minimum entry distance.  This replaces the per-ray BVH
-   descent with one data-parallel cull + sort.
-3. KERNEL (Pallas): each ray block walks ONLY its worklist.  Tile
-   tables are DMA'd HBM->VMEM on demand (double-buffered: tile k+1's
-   copy overlaps tile k's matmuls); per tile the same two K=8 dots +
-   VPU epilogue as the fused kernel.  The walk early-outs when every
-   ray's best hit is nearer than the next tile's entry distance
-   (front-to-back order makes this the BVH's t-pruning, hoisted to
-   block granularity) -- for any-hit (shadow) rays it stops as soon as
-   every live ray is occluded.
+2. CULL (Pallas, per dispatch): every ray slab-tests every tile AABB
+   in a dedicated VPU kernel (_worklist_kernel: tiles ride the
+   128-lane axis, rays sweep in 8-sublane chunks, zero HBM
+   temporaries); the per-block keys (min entry distance of any voting
+   ray) order the tiles front-to-back through one batched [G, ntt]
+   sort_key_val.  This replaces the per-ray BVH descent with one
+   data-parallel cull + sort.  (A CPU/XLA fallback of the same cull,
+   _block_worklists, serves tests and non-TPU backends.)
+3. WALK (Pallas): each ray block walks ONLY its worklist with an
+   _NBUF-deep circular DMA pipeline (a tile step is ~1 us of compute
+   against ~5 us of HBM latency; double buffering left the walk
+   latency-bound), then per tile the same two K=8 dots + VPU epilogue
+   as the fused kernel.  Loop control is scalar-only: the earlier
+   per-step vector-reduce t-pruning serialized each iteration on a
+   VPU-reduce -> SMEM readback and cost more than it saved.
 
 Results are bit-identical to the dense fused intersector: the worklist
 is conservative (a tile is only skipped when NO ray in the block can
 hit its AABB closer than t_max), and the epilogue math is shared.
-
-Profile notes (v5e, terrain 131k tris): the Pallas walk is ~15% of a
-full render step; the XLA glue around it (worklist slab tests, per-
-block sorts, hit-assembly gathers) is the rest, which is why the
-worklist runs batched over 8-block chunks with per-axis slab
-accumulation and one [G, ntt] argsort instead of 64 tiny per-block
-sorts.
 """
 from __future__ import annotations
 
@@ -89,6 +84,10 @@ class TwoLevelTris(NamedTuple):
     n_tris: int
     world_lo: Any  # [3] scene AABB (ray-sort quantization)
     world_ext: Any  # [3]
+    # [8, NTTp] planar bounds (rows lox loy loz hix hiy hiz, lanes =
+    # tiles, padded with +inf lo so pad tiles never vote): the layout
+    # the Pallas worklist kernel broadcasts against ray sublanes.
+    bounds_planar: Any = None
 
     @staticmethod
     def from_tris(p0, e1, e2) -> "TwoLevelTris":
@@ -106,6 +105,11 @@ class TwoLevelTris(NamedTuple):
               else np.zeros(3, np.float32))
         hi = (tb[real, 3:6].max(axis=0) if real.any()
               else np.ones(3, np.float32))
+        ntt = tb.shape[0]
+        nttp = (ntt + 127) // 128 * 128
+        bp = np.full((8, nttp), 1e30, np.float32)
+        bp[0:3, :ntt] = tb[:, 0:3].T
+        bp[3:6, :ntt] = tb[:, 3:6].T
         return TwoLevelTris(
             table=jnp.asarray(tab),
             tile_bounds=ft.tile_bounds,
@@ -114,6 +118,7 @@ class TwoLevelTris(NamedTuple):
             world_lo=jnp.asarray(lo.astype(np.float32)),
             world_ext=jnp.asarray(
                 np.maximum(hi - lo, 1e-6).astype(np.float32)),
+            bounds_planar=jnp.asarray(bp),
         )
 
 
@@ -190,7 +195,79 @@ def _block_worklists(tile_bounds: Any, o, d, t_max):
     return order, tnear, count
 
 
-def _kernel(count_ref, order_ref, tnear_ref, raye_ref, rayp_ref, tmax_ref,
+
+
+def _worklist_kernel(bounds_ref, rays_ref, key_ref, *, NTTP):
+    """Per-block tile cull on the VPU: tiles ride the 128-lane axis,
+    rays sweep in 8-sublane chunks, every op is a native [8, NTTP]
+    broadcast -- no HBM temporaries (the XLA slab test materialized
+    [C*Rt, ntt] arrays per axis and was HBM-bound)."""
+    from jax.experimental import pallas as pl
+
+    rays = rays_ref[0]  # [RAY_TILE, 8]: ox oy oz ivx ivy ivz tmax pad
+    lo_x = bounds_ref[0:1, :]
+    lo_y = bounds_ref[1:2, :]
+    lo_z = bounds_ref[2:3, :]
+    hi_x = bounds_ref[3:4, :]
+    hi_y = bounds_ref[4:5, :]
+    hi_z = bounds_ref[5:6, :]
+
+    acc = jnp.full((8, NTTP), 1e30, jnp.float32)
+    for rc in range(RAY_TILE // 8):
+        blk = rays[rc * 8:(rc + 1) * 8, :]  # [8, 8]
+        ox, oy, oz = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
+        ivx, ivy, ivz = blk[:, 3:4], blk[:, 4:5], blk[:, 5:6]
+        tm = blk[:, 6:7]
+        t0 = (lo_x - ox) * ivx
+        t1 = (hi_x - ox) * ivx
+        tn = jnp.minimum(t0, t1)
+        tf = jnp.maximum(t0, t1)
+        t0 = (lo_y - oy) * ivy
+        t1 = (hi_y - oy) * ivy
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        t0 = (lo_z - oz) * ivz
+        t1 = (hi_z - oz) * ivz
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        tf = jnp.minimum(tf, tm)
+        vote = (tn <= tf * 1.0001) & (tf > 0)
+        acc = jnp.minimum(acc, jnp.where(vote, tn, 1e30))
+    key_ref[0] = jnp.min(acc, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _block_worklists_pallas(bounds_planar, rays_t, interpret: bool = False):
+    """(key [G, NTTP]) from rays_t [G, RAY_TILE, 8]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = rays_t.shape[0]
+    NTTP = bounds_planar.shape[1]
+    kern = functools.partial(_worklist_kernel, NTTP=NTTP)
+    return pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((8, NTTP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_TILE, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # [G, 1, NTTP]: Mosaic rejects (1, N) blocks over [G, N]
+        # (last-two-dims rule; CLAUDE.md pitfalls), so the block keeps a
+        # unit sublane dim and XLA drops it after the call.
+        out_specs=pl.BlockSpec((1, 1, NTTP), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, 1, NTTP), jnp.float32),
+        interpret=interpret,
+    )(bounds_planar, rays_t)[:, 0]
+
+
+_NBUF = 8  # tile-table prefetch depth (DMA-latency hiding)
+
+
+def _kernel(count_ref, order_ref, raye_ref, rayp_ref, tmax_ref,
             tab_hbm, t_out, id_out,
             buf, best_t_s, best_id_s, sem,
             *, any_hit: bool):
@@ -218,29 +295,21 @@ def _kernel(count_ref, order_ref, tnear_ref, raye_ref, rayp_ref, tmax_ref,
 
     @pl.when((n > 0) & live())
     def _():
-        copy(0, 0).start()
+        # _NBUF-deep circular prefetch: a tile step is ~1 us of MXU/VPU
+        # work against ~5 us of HBM DMA latency, so double buffering
+        # left the walk latency-bound (measured 73 ms for 921k coherent
+        # rays at 131k tris).  Keeping _NBUF copies in flight amortizes
+        # the latency across the whole worklist; loop control stays
+        # scalar-only (the old vector-reduce t-pruning cond serialized
+        # each step on a VPU-reduce -> SMEM readback).
+        def prime(k, _):
+            copy(k, jax.lax.rem(k, _NBUF)).start()
+            return 0
 
-        def cond(k):
-            # Front-to-back early-out: once every ray's best hit is
-            # nearer than the next tile's entry distance nothing can
-            # improve (the block-level version of BVH t-pruning).
-            improvable = jnp.any(best_t_s[:] * 1.0001 > tnear_ref[g, k])
-            if any_hit:
-                improvable = improvable & jnp.any(
-                    (best_id_s[:] < 0) & (tmax_ref[0] > 0))
-            return (k < n) & improvable
+        jax.lax.fori_loop(0, jnp.minimum(n, _NBUF), prime, 0)
 
-        def body(k):
-            slot = jax.lax.rem(k, 2)
-            # Prefetch k+1 into the other buffer while k computes --
-            # only when the walk is certain to consume it (cond is
-            # re-evaluated after the epilogue shrinks best_t, so gate
-            # on the pre-update state: tnear is sorted, making the
-            # k+1 gate implied by k's).
-            @pl.when(k + 1 < n)
-            def _():
-                copy(k + 1, 1 - slot).start()
-
+        def body(k, _):
+            slot = jax.lax.rem(k, _NBUF)
             copy(k, slot).wait()
             tab = buf[slot]  # [5, K, Tt]
             w = jnp.concatenate(
@@ -251,15 +320,15 @@ def _kernel(count_ref, order_ref, tnear_ref, raye_ref, rayp_ref, tmax_ref,
                                 order_ref[g, k] * TRI_TILE, TRI_TILE, iota)
             best_t_s[:] = bt
             best_id_s[:] = bid
-            return k + 1
+            # Refill the slot just consumed (reads of buf[slot] are
+            # ordered before the overwrite through the ref dependency).
+            @pl.when(k + _NBUF < n)
+            def _():
+                copy(k + _NBUF, slot).start()
 
-        last = jax.lax.while_loop(cond, body, 0)
+            return 0
 
-        # Drain the in-flight prefetch for step `last` (started by step
-        # last-1's body) so no DMA outlives the kernel.
-        @pl.when(last < n)
-        def _():
-            copy(last, jax.lax.rem(last, 2)).wait()
+        jax.lax.fori_loop(0, n, body, 0)
 
     t_out[0] = best_t_s[:]
     id_out[0] = best_id_s[:]
@@ -270,8 +339,13 @@ def _kernel(count_ref, order_ref, tnear_ref, raye_ref, rayp_ref, tmax_ref,
 def _intersect_pallas2(table, order, tnear, count,
                        raye, rayp, t_max, any_hit: bool = False,
                        interpret: bool = False):
+    """tnear is accepted for call-site compatibility but no longer fed
+    to the kernel: the per-step t-pruning it powered cost more (vector
+    reduce + SMEM readback per iteration, plus [G, ntt] of SMEM
+    prefetch traffic per launch) than it saved on these worklists."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    del tnear
 
     G = raye.shape[0]
     kern = functools.partial(_kernel, any_hit=any_hit)
@@ -282,11 +356,11 @@ def _intersect_pallas2(table, order, tnear, count,
     flat_spec = pl.BlockSpec((1, 1, RAY_TILE),
                              lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    # count/order/tnear ride the scalar-prefetch path: full SMEM arrays
-    # indexed by program_id (the worklists ARE scalars -- tile ids and
-    # entry distances driving data-dependent DMAs).
+    # count/order ride the scalar-prefetch path: full SMEM arrays
+    # indexed by program_id (the worklists ARE scalars -- tile ids
+    # driving data-dependent DMAs).
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(G,),
         in_specs=[
             ray_spec, ray_spec, flat_spec,
@@ -294,10 +368,10 @@ def _intersect_pallas2(table, order, tnear, count,
         ],
         out_specs=[flat_spec, flat_spec],
         scratch_shapes=[
-            pltpu.VMEM((2, 5, _K, TRI_TILE), jnp.float32),
+            pltpu.VMEM((_NBUF, 5, _K, TRI_TILE), jnp.float32),
             pltpu.VMEM((1, RAY_TILE), jnp.float32),
             pltpu.VMEM((1, RAY_TILE), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((_NBUF,)),
         ],
     )
     return pl.pallas_call(
@@ -311,7 +385,7 @@ def _intersect_pallas2(table, order, tnear, count,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(count, order, tnear, raye, rayp, t_max[:, None, :], table)
+    )(count, order, raye, rayp, t_max[:, None, :], table)
 
 
 def _intersect_ref2(tl: TwoLevelTris, order, tnear, count, raye, rayp,
@@ -404,12 +478,33 @@ def intersect_twolevel(tl: TwoLevelTris, o, d, t_max,
 
     o_p, d_p = pad(o, 0.0), pad(d, 1.0)
     tm_p = pad(t_max, 0.0)
-    order, tnear, count = _block_worklists(tl.tile_bounds, o_p, d_p, tm_p)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and tl.bounds_planar is not None:
+        # Pallas tile cull: the XLA slab test materialized [C*Rt, ntt]
+        # HBM temporaries per axis; the kernel keeps everything in VMEM
+        # ([8, NTTP] broadcasts, _worklist_kernel).  Only the
+        # front-to-back sort stays in XLA (one batched [G, ntt]
+        # sort_key_val).
+        inv_p = jnp.where(jnp.abs(d_p) > 1e-12,
+                          1.0 / jnp.where(d_p == 0, 1.0, d_p),
+                          jnp.where(d_p < 0, -1e12, 1e12))
+        rays_t = jnp.concatenate(
+            [o_p, inv_p, tm_p[:, None], jnp.zeros((Rp, 1))],
+            axis=-1).reshape(G, RAY_TILE, 8)
+        ntt = tl.tile_bounds.shape[0]
+        key = _block_worklists_pallas(tl.bounds_planar, rays_t)[:, :ntt]
+        iota = jnp.broadcast_to(
+            jnp.arange(ntt, dtype=jnp.int32)[None], key.shape)
+        tnear, order = jax.lax.sort_key_val(key, iota, dimension=1)
+        count = jnp.sum(key < 1e29, axis=1).astype(jnp.int32)
+    else:
+        order, tnear, count = _block_worklists(tl.tile_bounds, o_p, d_p,
+                                               tm_p)
 
     raye_t = pad(raye, 0.0).reshape(G, RAY_TILE, _K).transpose(0, 2, 1)
     rayp_t = pad(rayp, 0.0).reshape(G, RAY_TILE, _K).transpose(0, 2, 1)
     tm_t = tm_p.reshape(G, RAY_TILE)
-    if jax.default_backend() == "tpu":
+    if on_tpu:
         # The order/tnear worklists ride scalar-prefetch SMEM ([G, ntt]
         # each); SMEM is ~1 MB, so fat dispatches (G > _G_SMEM blocks)
         # launch the walk in slices.  The sort/worklist build above

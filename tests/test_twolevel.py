@@ -80,3 +80,45 @@ def test_worklists_are_conservative():
         tile = idp[r] // 256
         g = r // 512
         assert tile in order[g, : count[g]], (r, tile)
+
+
+def test_worklist_pallas_matches_xla_cull():
+    """The Pallas tile-cull kernel (interpret mode on CPU) produces the
+    same per-block keys (min entry distance of any voting ray, 1e30 for
+    culled tiles) as the XLA slab test it replaces."""
+    import numpy as np
+    import jax.numpy as jnp
+    from statmc_tpu.accel import twolevel as TL
+
+    rng = np.random.default_rng(3)
+    T = 700
+    p0 = rng.random((T, 3)).astype(np.float32) * 10
+    e1 = rng.random((T, 3)).astype(np.float32)
+    e2 = rng.random((T, 3)).astype(np.float32)
+    tl = TL.TwoLevelTris.from_tris(p0, e1, e2)
+
+    R = 2 * TL.RAY_TILE
+    o = (rng.random((R, 3)).astype(np.float32) * 12 - 1)
+    d = rng.random((R, 3)).astype(np.float32) - 0.5
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_max = np.full((R,), 1e30, np.float32)
+    t_max[::7] = 0.0  # dead lanes never vote
+
+    o_j, d_j, tm_j = jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_max)
+    order, tnear, count = TL._block_worklists(
+        tl.tile_bounds, o_j, d_j, tm_j)
+
+    inv = jnp.where(jnp.abs(d_j) > 1e-12,
+                    1.0 / jnp.where(d_j == 0, 1.0, d_j),
+                    jnp.where(d_j < 0, -1e12, 1e12))
+    rays_t = jnp.concatenate(
+        [o_j, inv, tm_j[:, None], jnp.zeros((R, 1))],
+        axis=-1).reshape(-1, TL.RAY_TILE, 8)
+    ntt = tl.tile_bounds.shape[0]
+    key = TL._block_worklists_pallas(tl.bounds_planar, rays_t,
+                                     interpret=True)[:, :ntt]
+    count_k = np.asarray(jnp.sum(key < 1e29, axis=1))
+    np.testing.assert_array_equal(count_k, np.asarray(count))
+    # Sorted keys must match the XLA path's sorted tnear exactly.
+    key_sorted = np.sort(np.asarray(key), axis=1)
+    np.testing.assert_allclose(key_sorted, np.asarray(tnear), rtol=1e-6)
