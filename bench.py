@@ -93,21 +93,29 @@ def _bench_terrain():
     }
     del r
 
-    # ~1M-triangle line (round-3 verdict #2): n=708 -> 707^2*2 tris,
-    # the top of MAX_TILES * TRI_TILE for the two-level dispatch.
-    text = terrain_scene_text(width=WIDTH, height=HEIGHT, spp=2,
-                              iterations=1, maxdepth=8, n=708)
-    path = tmp + "/terrain-1m.pbrt"
-    with open(path, "w") as f:
-        f.write(text)
-    r = load(path)
-    out["terrain_1m_tris"] = int(getattr(r.s.bvh, "n_tris", 0))
-    r.render(iterations=1, verbose=False)
-    r.reset()
-    log = r.render(iterations=1, verbose=False)[0]
-    rays_1m = log["rays_total"] / log["render_s"]
-    out["terrain_1m_rays_per_s"] = round(rays_1m, 1)
-    out["terrain_1m_render_s"] = round(log["render_s"], 3)
+    # ~1M-triangle line (round-3 verdict #2).  Kept in its own guard:
+    # the 1M table is a ~170 MB program constant and the remote-compile
+    # relay rejects oversized requests (HTTP 413) on some deployments --
+    # the 131k numbers above must survive that.
+    for n_grid in (708, 500):  # ~1M tris, then ~500k if the relay
+        try:                    # rejects the larger program payload
+            text = terrain_scene_text(width=WIDTH, height=HEIGHT, spp=2,
+                                      iterations=1, maxdepth=8, n=n_grid)
+            path = tmp + f"/terrain-big{n_grid}.pbrt"
+            with open(path, "w") as f:
+                f.write(text)
+            r = load(path)
+            out["terrain_big_tris"] = int(getattr(r.s.bvh, "n_tris", 0))
+            r.render(iterations=1, verbose=False)
+            r.reset()
+            log = r.render(iterations=1, verbose=False)[0]
+            rays_big = log["rays_total"] / log["render_s"]
+            out["terrain_big_rays_per_s"] = round(rays_big, 1)
+            out["terrain_big_render_s"] = round(log["render_s"], 3)
+            break
+        except Exception as e:
+            out["terrain_big_error"] = f"{type(e).__name__}: {e}"[:160]
+            r = None
     return out
 
 
@@ -135,6 +143,16 @@ def main():
     denoise_s = (time.perf_counter() - t0) / DENOISE_BATCH
     denoise_ms_per_mpix = denoise_s * 1e3 / mpix
 
+    # Blocking latency: min over a few one-shot calls (single-call
+    # timings jitter by tens of ms through the device relay).
+    blocking = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r._denoise()
+        jax.block_until_ready(r.film_f)
+        blocking.append(time.perf_counter() - t0)
+    denoise_blocking_ms = min(blocking) * 1e3
+
     film = np.asarray(r.film_mean)
     ok = bool(np.isfinite(film).all() and film.mean() > 0)
 
@@ -144,7 +162,7 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
         "denoise_ms_per_mpix": round(denoise_ms_per_mpix, 2),
-        "denoise_blocking_ms": round(log["denoise_s"] * 1e3, 2),
+        "denoise_blocking_ms": round(denoise_blocking_ms, 2),
         "render_s": round(log["render_s"], 3),
         "rays_total": int(rays),
         "spp": SPP,
