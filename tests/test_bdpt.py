@@ -87,12 +87,21 @@ def _glass_caustic_scene(integrator: str, spp: int, size: int = 12) -> str:
     )
 
 
+_RENDER_CACHE = {}
+
+
 def _render(text, tmp_path, name, seed=0):
-    p = tmp_path / name
-    p.write_text(text)
-    r = load(str(p), base_seed=seed)
-    r.render(iterations=1, verbose=False)
-    return np.asarray(r.film_mean)
+    # Keyed by (scene text, seed): the 256-spp caustic references are
+    # shared between test_bdpt and test_sppm_mlt -- re-rendering them
+    # per test dominated the slow tier.
+    key = (text, seed)
+    if key not in _RENDER_CACHE:
+        p = tmp_path / name
+        p.write_text(text)
+        r = load(str(p), base_seed=seed)
+        r.render(iterations=1, verbose=False)
+        _RENDER_CACHE[key] = np.asarray(r.film_mean)
+    return _RENDER_CACHE[key]
 
 
 def test_bdpt_dispatches(tmp_path):
