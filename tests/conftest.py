@@ -45,6 +45,7 @@ import pytest  # noqa: E402
 
 _SLOW_TESTS = {
     "test_analytic_volpath",
+    "test_mlt_bdpt_beats_pt_mutation_on_caustics",
     "test_analytic_bdpt",
     "test_analytic_bdpt_arealight",
     "test_analytic_sppm",

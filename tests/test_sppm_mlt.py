@@ -75,3 +75,38 @@ def test_mlt_matches_path_mean(tmp_path):
     assert abs(f_mlt.mean() - f_path.mean()) / f_path.mean() < 0.15, (
         f"mlt mean {f_mlt.mean():.4f} vs path {f_path.mean():.4f}"
     )
+
+
+def test_mlt_bdpt_beats_pt_mutation_on_caustics(tmp_path):
+    """pbrt's MLT mutates BDPT strategies because PT mutations mix
+    poorly through hard specular chains (mlt.cpp:120-260).  On the
+    glass-caustic scene, bidirectional MLT's error against a converged
+    reference must beat the PT-mutation fallback at equal mutation
+    budget."""
+    from tests.test_bdpt import _glass_caustic_scene
+
+    ref = None
+
+    def run(extra, seed):
+        p = tmp_path / f"m{seed}.pbrt"
+        text = _glass_caustic_scene("mlt", 24)
+        text = text.replace('Integrator "mlt" "integer maxdepth" [5] ',
+                            f'Integrator "mlt" "integer maxdepth" [5] '
+                            f'{extra} ')
+        p.write_text(text)
+        r = load(str(p), base_seed=seed)
+        r.render(iterations=1, verbose=False)
+        return np.asarray(r.film_mean)
+
+    ref_p = tmp_path / "ref.pbrt"
+    from tests.test_bdpt import _render
+
+    ref = _render(_glass_caustic_scene("bdpt", 256), tmp_path,
+                  "ref.pbrt", seed=11)
+    f_bd = run("", seed=3)
+    f_pt = run('"bool bidirectional" ["false"]', seed=3)
+    err_bd = float(np.mean((f_bd - ref) ** 2))
+    err_pt = float(np.mean((f_pt - ref) ** 2))
+    assert np.isfinite(f_bd).all()
+    assert err_bd < err_pt, (
+        f"bdpt-mlt MSE {err_bd:.5f} !< pt-mlt MSE {err_pt:.5f}")
