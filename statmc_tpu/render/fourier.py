@@ -136,10 +136,12 @@ def write_bsdf(path: str, mu: np.ndarray, ak_list, eta: float = 1.0,
     # luminance coefficient over muI (interpolation.cpp:293-322) -- the
     # table the importance sampler inverts, so it must be the true
     # integral of the a0 spline.
+    # ak_list is [muO][muI]-major (file pair order, reflection.h:166):
+    # cdf row o must integrate a0 ALONG muI at fixed muO.
     a0 = np.zeros((n_mu, n_mu), np.float64)
     for o in range(n_mu):
         for i in range(n_mu):
-            blk = np.asarray(ak_list[i][o], np.float64).reshape(
+            blk = np.asarray(ak_list[o][i], np.float64).reshape(
                 n_channels, -1)
             a0[o, i] = blk[0, 0] if blk.size else 0.0
     x = np.asarray(mu, np.float64)
@@ -156,6 +158,10 @@ def write_bsdf(path: str, mu: np.ndarray, ak_list, eta: float = 1.0,
                   if i + 2 < n_mu else f1 - f0)
             cdf[o, i + 1] = cdf[o, i] + (
                 (d0 - d1) / 12.0 + (f0 + f1) * 0.5) * width
+        # The Hermite integral of a DISCONTINUOUS profile (reflection
+        # tables step to zero across muI=0) can dip locally; the
+        # inversion requires a monotone cdf.
+        cdf[o] = np.maximum.accumulate(cdf[o])
     cdf = cdf.astype(np.float32)
     with open(path, "wb") as f:
         f.write(_HEADER)

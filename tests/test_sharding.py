@@ -101,7 +101,8 @@ def test_mesh_render_matches_single_device():
     states, film_sum, film_w, rays, stats = fn(
         r2.states, r2.film_sum, r2.film_w, r2.ray_total, r2.base_key,
         jnp.asarray(0, jnp.int32), pixel_ids,
-        r2.avg_ls, r2.win_b, r2.win_l, jnp.asarray(False), n_samples=4,
+        jnp.ones((P,), bool), r2.avg_ls, r2.win_b, r2.win_l,
+        jnp.asarray(False), n_samples=4,
     )
     # STAT counters are psum'd across the mesh: 4 samples x 64 pixels.
     assert float(stats["n_camera_rays"]) == 4 * r2.P
