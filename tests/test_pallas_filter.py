@@ -54,7 +54,10 @@ def test_pallas_matches_xla_reference():
     np.testing.assert_allclose(
         np.asarray(disc), np.asarray(ref["discriminator"]), rtol=1e-5
     )
-    assert float(jnp.min(wsum)) >= 1.0  # self weight always present
+    # Self weight always present; the kernel's quadratic range-term
+    # expansion leaves an O(1e-6) fp residual in the zero-offset
+    # exponent, so exactly 1.0 is not guaranteed.
+    assert float(jnp.min(wsum)) >= 1.0 - 1e-5
 
 
 def test_vjp_matches_finite_difference():
