@@ -62,9 +62,16 @@ MAX_TILES = 4096
 # Ray blocks per worklist chunk: bounds the [C*Rt, ntt] slab-test
 # temporaries (~8 MB at 514 tiles) while amortizing per-op overhead.
 _WL_CHUNK = 8
-# Max ray blocks per pallas launch: order+tnear are [G, ntt] SMEM
-# scalar-prefetch arrays and SMEM is ~1 MB (128 * 514 * 8 B = 526 KB).
+# Max ray blocks per pallas launch: order is a [G, ntt] int32 SMEM
+# scalar-prefetch array and SMEM is ~1 MB, so the cap shrinks with the
+# tile count (514 tiles -> 128 blocks; ~2k tiles (500k tris) -> 64;
+# ~4k tiles (1M tris) -> 32).
 _G_SMEM = 128
+_SMEM_BYTES = 512 * 1024  # conservative half of the ~1 MB scalar memory
+
+
+def _g_smem(ntt: int) -> int:
+    return max(8, min(_G_SMEM, _SMEM_BYTES // max(ntt * 4, 1)))
 
 
 class TwoLevelTris(NamedTuple):
@@ -505,13 +512,14 @@ def intersect_twolevel(tl: TwoLevelTris, o, d, t_max,
     rayp_t = pad(rayp, 0.0).reshape(G, RAY_TILE, _K).transpose(0, 2, 1)
     tm_t = tm_p.reshape(G, RAY_TILE)
     if on_tpu:
-        # The order/tnear worklists ride scalar-prefetch SMEM ([G, ntt]
-        # each); SMEM is ~1 MB, so fat dispatches (G > _G_SMEM blocks)
+        # The order worklists ride scalar-prefetch SMEM ([G, ntt]);
+        # SMEM is ~1 MB, so fat dispatches (G > _g_smem(ntt) blocks)
         # launch the walk in slices.  The sort/worklist build above
         # stays one fused pass -- only the kernel launch is sliced.
+        gs = _g_smem(tl.table.shape[0])
         ts, ids = [], []
-        for g0 in range(0, G, _G_SMEM):
-            g1 = min(g0 + _G_SMEM, G)
+        for g0 in range(0, G, gs):
+            g1 = min(g0 + gs, G)
             tt, ii = _intersect_pallas2(
                 tl.table, order[g0:g1], tnear[g0:g1], count[g0:g1],
                 raye_t[g0:g1], rayp_t[g0:g1], tm_t[g0:g1],

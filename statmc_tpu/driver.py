@@ -420,14 +420,53 @@ def padded_pixel_count(P: int, bvh=None) -> tuple[int, int, int]:
     return n_blocks * B, B, n_blocks
 
 
+def split_device_args(setup: RenderSetup):
+    """(arrays, rebuild) — every device-array leaf of the setup's scene
+    tables, extracted so the jitted chunk functions take them as runtime
+    ARGUMENTS instead of closing over them.
+
+    Closed-over jnp arrays are baked into the XLA program as literal
+    constants; at >=~300k triangles that is an 80-170 MB program payload
+    and the remote-compile relay rejects it (HTTP 413/500) — the round-4
+    hard wall on every megascale paper scene.  The reference builds its
+    BVH from arbitrary-size primitive vectors as a matter of course
+    (src/accelerators/bvh.cpp:183-307); passing the tables as arguments
+    restores that capability and additionally lets scenes with identical
+    table SHAPES share one compiled program.
+
+    Non-array leaves (static ints like FusedTris.n_tris, None slots)
+    stay Python constants so shape-bearing fields keep working.
+    """
+    objs = (setup.scene, setup.bvh, setup.dist, setup.cam,
+            setup.albedo_luts, setup.lockstep_tab, setup.pixel_mask)
+    leaves, treedef = jax.tree_util.tree_flatten(objs)
+    is_arr = [isinstance(l, (jax.Array, np.ndarray)) for l in leaves]
+    arrs = [jnp.asarray(l) for l, a in zip(leaves, is_arr) if a]
+
+    def rebuild(new_arrs):
+        it = iter(new_arrs)
+        merged = [next(it) if a else l for l, a in zip(leaves, is_arr)]
+        scene, bvh, dist, cam, luts, lstab, pmask = (
+            jax.tree_util.tree_unflatten(treedef, merged))
+        from dataclasses import replace
+
+        return replace(setup, scene=scene, bvh=bvh, dist=dist, cam=cam,
+                       albedo_luts=luts, lockstep_tab=lstab,
+                       pixel_mask=pmask)
+
+    return arrs, rebuild
+
+
 def make_chunk_fn(setup: RenderSetup):
     """Build the jitted per-chunk render function (single device).
 
     All [P]-major arrays must be padded to padded_pixel_count(W*H)[0];
     the pad lanes re-trace the last real pixel and are ignored on read.
+    Scene/BVH/LUT tables ride as jit arguments (split_device_args), not
+    program constants.
     """
     P = setup.width * setup.height
-    sample_step = make_sample_fn(setup)
+    scene_args, rebuild = split_device_args(setup)
     Pp, B, n_blocks = padded_pixel_count(P, setup.bvh)
     # Padded pixel ids: pad lanes alias the last real pixel for ray
     # generation but never alias its statistics (their block writes land
@@ -457,8 +496,11 @@ def make_chunk_fn(setup: RenderSetup):
             states, blk,
         )
 
-    def chunk(states, film_sum, film_w, ray_total, stats_acc, base_key,
-              sample_start, avg_ls, win_b, win_l, feedback_on, n_samples):
+    def chunk(scene_arrs, states, film_sum, film_w, ray_total, stats_acc,
+              base_key, sample_start, avg_ls, win_b, win_l, feedback_on,
+              n_samples):
+        sample_step = make_sample_fn(rebuild(scene_arrs))
+
         def sample_body(s, carry):
             states, film_sum, film_w, ray_total, stats_acc = carry
 
@@ -493,7 +535,15 @@ def make_chunk_fn(setup: RenderSetup):
             (states, film_sum, film_w, ray_total, stats_acc),
         )
 
-    return jax.jit(chunk, static_argnames=("n_samples",))
+    jitted = jax.jit(chunk, static_argnames=("n_samples",))
+
+    def call(states, film_sum, film_w, ray_total, stats_acc, base_key,
+             sample_start, avg_ls, win_b, win_l, feedback_on, n_samples):
+        return jitted(scene_args, states, film_sum, film_w, ray_total,
+                      stats_acc, base_key, sample_start, avg_ls, win_b,
+                      win_l, feedback_on, n_samples=n_samples)
+
+    return call
 
 
 def make_regen_chunk_fn(setup: RenderSetup):
@@ -507,9 +557,9 @@ def make_regen_chunk_fn(setup: RenderSetup):
     per-pixel sample order, so film sums and streaming moment updates
     reproduce the per-sample driver exactly.
     """
-    scene, bvh, dist = setup.scene, setup.bvh, setup.dist
     icfg, ecfg = setup.icfg, setup.ecfg
-    cam, W = setup.cam, setup.width
+    W = setup.width
+    scene_args, rebuild = split_device_args(setup)
     P = setup.width * setup.height
     Pp, B, n_blocks = padded_pixel_count(P, setup.bvh)
     pixel_ids_all = jnp.minimum(jnp.arange(Pp, dtype=jnp.int32), P - 1)
@@ -536,8 +586,13 @@ def make_regen_chunk_fn(setup: RenderSetup):
             states, blk,
         )
 
-    def chunk(states, film_sum, film_w, ray_total, stats_acc, base_key,
-              sample_start, avg_ls, win_b, win_l, feedback_on, n_samples):
+    def chunk(scene_arrs, states, film_sum, film_w, ray_total, stats_acc,
+              base_key, sample_start, avg_ls, win_b, win_l, feedback_on,
+              n_samples):
+        setup_t = rebuild(scene_arrs)
+        scene, bvh, dist, cam = (setup_t.scene, setup_t.bvh, setup_t.dist,
+                                 setup_t.cam)
+
         def block_body(bi, carry2):
             states, film_sum, film_w, ray_total, stats_acc = carry2
             start = bi * B
@@ -548,8 +603,8 @@ def make_regen_chunk_fn(setup: RenderSetup):
             al_b = slice_px(avg_ls, start, B)
             wb_b = slice_px(win_b, start, B)
             wl_b = slice_px(win_l, start, B)
-            crop = (setup.pixel_mask[ids]
-                    if setup.pixel_mask is not None else None)
+            crop = (setup_t.pixel_mask[ids]
+                    if setup_t.pixel_mask is not None else None)
             vd_b = jax.lax.dynamic_slice(lane_valid_all, (start,), (B,))
             px = (ids % W).astype(jnp.float32)
             py = (ids // W).astype(jnp.float32)
@@ -589,7 +644,7 @@ def make_regen_chunk_fn(setup: RenderSetup):
             st_b, fs_b, fw_b, ray_total, stats_acc = trace_wavefront(
                 scene, bvh, dist, icfg, gen_ray, ids, base_key,
                 sample_start, n_samples, al_b, wb_b, wl_b, feedback_on,
-                record, acc0, albedo_luts=setup.albedo_luts,
+                record, acc0, albedo_luts=setup_t.albedo_luts,
             )
             states = write_state(states, st_b, start)
             film_sum = jax.lax.dynamic_update_slice(
@@ -602,7 +657,15 @@ def make_regen_chunk_fn(setup: RenderSetup):
             return block_body(0, carry)
         return jax.lax.fori_loop(0, n_blocks, block_body, carry)
 
-    return jax.jit(chunk, static_argnames=("n_samples",))
+    jitted = jax.jit(chunk, static_argnames=("n_samples",))
+
+    def call(states, film_sum, film_w, ray_total, stats_acc, base_key,
+             sample_start, avg_ls, win_b, win_l, feedback_on, n_samples):
+        return jitted(scene_args, states, film_sum, film_w, ray_total,
+                      stats_acc, base_key, sample_start, avg_ls, win_b,
+                      win_l, feedback_on, n_samples=n_samples)
+
+    return call
 
 
 def _adapt_sharded_chunk(sharded_fn, P: int):

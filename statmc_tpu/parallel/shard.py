@@ -32,7 +32,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core import rng as crng
 from ..stats import moments
 from ..stats import estimator as E
-from ..driver import RenderSetup, make_sample_fn, zero_stats
+from ..driver import (RenderSetup, make_sample_fn, split_device_args,
+                      zero_stats)
 
 try:  # jax >= 0.4.35
     from jax.experimental.shard_map import shard_map
@@ -57,7 +58,11 @@ def make_sharded_chunk_fn(setup: RenderSetup, mesh: Mesh):
     All [P]-major arrays (film, states, feedback, pixel ids) must be
     padded so the pixel axis divides the "px" axis size.
     """
-    sample_step = make_sample_fn(setup)
+    # Scene/BVH tables ride as replicated ARGUMENTS (driver.
+    # split_device_args): closed-over tables bake into the program as
+    # constants, which caps scene size at the compile-payload limit.
+    scene_args, rebuild = split_device_args(setup)
+    scene_spec = [P() for _ in scene_args]
     ecfg = setup.ecfg
     n_spp = mesh.shape["spp"]
 
@@ -81,9 +86,10 @@ def make_sharded_chunk_fn(setup: RenderSetup, mesh: Mesh):
     stats_spec = {k: P() for k in zero_stats()}
     out_specs = (state_spec, P("px"), P("px"), P(), stats_spec)
 
-    def chunk(states, film_sum, film_w, ray_total, base_key, sample_start,
-              pixel_ids, lane_valid, avg_ls, win_b, win_l, feedback_on,
-              n_samples):
+    def chunk(scene_arrs, states, film_sum, film_w, ray_total, base_key,
+              sample_start, pixel_ids, lane_valid, avg_ls, win_b, win_l,
+              feedback_on, n_samples):
+        sample_step = make_sample_fn(rebuild(scene_arrs))
         my_spp = jax.lax.axis_index("spp")
         # Per-device sample count: device k handles sample indices
         # sample_start + s*n_spp + k, so a remainder (n_samples not a
@@ -137,10 +143,12 @@ def make_sharded_chunk_fn(setup: RenderSetup, mesh: Mesh):
     sharded = shard_map(
         chunk,
         mesh=mesh,
-        in_specs=in_specs + (P(),),
+        in_specs=(scene_spec,) + in_specs + (P(),),
         out_specs=out_specs,
         check_rep=False,
     )
+
+    jitted = jax.jit(sharded, static_argnames=())
 
     def wrapper(states, film_sum, film_w, ray_total, base_key,
                 sample_start, pixel_ids, lane_valid, avg_ls, win_b, win_l,
@@ -149,13 +157,13 @@ def make_sharded_chunk_fn(setup: RenderSetup, mesh: Mesh):
         stats_delta is this chunk's STAT counter increment.  lane_valid
         marks real (non-pad) pixel lanes; pad lanes render but are kept
         out of the psum'd STAT counters."""
-        return sharded(
-            states, film_sum, film_w, ray_total, base_key, sample_start,
-            pixel_ids, lane_valid, avg_ls, win_b, win_l, feedback_on,
-            jnp.asarray(n_samples),
+        return jitted(
+            scene_args, states, film_sum, film_w, ray_total, base_key,
+            sample_start, pixel_ids, lane_valid, avg_ls, win_b, win_l,
+            feedback_on, jnp.asarray(n_samples),
         )
 
-    return jax.jit(wrapper, static_argnames=("n_samples",))
+    return wrapper
 
 
 def make_sharded_filter(mesh: Mesh, height: int, width: int, channels: int,

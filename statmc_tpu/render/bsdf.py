@@ -156,13 +156,16 @@ def _hair_lanes(m: MaterialLanes):
 
 
 def _scene_has_textures(scene: sb.SceneTables) -> bool:
-    """Static check (scene tables are concrete at trace time): does any
-    material reference a texture row?"""
+    """Static check: does any material reference a texture row?
+    Reads the build-time flags (scene/build.py:SceneFlags) so the gate
+    stays static when the tables are jit arguments."""
+    if getattr(scene, "flags", None) is not None:
+        return scene.flags.has_textures
     try:
         import numpy as _np
 
         return bool(_np.any(_np.asarray(scene.mat_kd_tex) >= 0))
-    except Exception:  # traced scene: keep the texture path
+    except Exception:  # traced scene without flags: keep the path
         return True
 
 

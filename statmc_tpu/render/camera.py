@@ -201,5 +201,9 @@ def make_realistic(camera_to_world: np.ndarray, lens_rows, xres: int,
         dy_camera=jnp.zeros(3),
         orthographic=False,
         lens=lens,
-        res=np.asarray([xres, yres], np.float32),
+        # Static tuple (not an array): generate_rays_weighted reads the
+        # resolution as Python floats at trace time, and the camera
+        # rides through jit as an argument pytree (driver.
+        # split_device_args) where array leaves become tracers.
+        res=(float(xres), float(yres)),
     )

@@ -272,8 +272,11 @@ def _assemble_hit(scene: SceneTables, o, d, t_best, kind, idx,
                  jnp.zeros_like(dir_s[..., 0])], -1))
         if want_axes:
             # Spheres fall back to an isotropic footprint of uv_density.
+            # NB is_t is already [R,1]; index the raw kind mask so the
+            # select broadcasts [R,1,1] against the [R,2,2] axes.
             iso = dens_s[:, None, None] * jnp.eye(2)
-            uv_axes = jnp.where(is_t[:, None, None], axes_t, iso)
+            uv_axes = jnp.where((kind == PRIM_TRI)[:, None, None],
+                                axes_t, iso)
     elif has_tris:
         ng, ns, uv, mat, light, dens = ng_t, ns_t, uv_t, mat_t, light_t, dens_t
         if want_tangent:

@@ -49,13 +49,16 @@ def _light_rows(scene: sb.SceneTables, light_id: Array):
 
 
 def _has_image_lights(scene: sb.SceneTables) -> bool:
-    """True when any goniometric/projection light exists.
-    Scene tables are concrete at trace time (jit closures), so this is
-    a static Python decision, like `int(scene.env_light_id)` below."""
+    """True when any goniometric/projection light exists.  A static
+    Python decision, like `int(scene.env_light_id)` below; reads the
+    build-time flags (scene/build.py:SceneFlags) so it survives the
+    tables becoming jit arguments."""
+    if getattr(scene, "flags", None) is not None:
+        return scene.flags.has_image_lights
     try:
         k = np.asarray(scene.light_kind)
         return bool(np.any((k == sb.LIGHT_GONIO) | (k == sb.LIGHT_PROJ)))
-    except Exception:  # traced (non-closure) scene: keep the full path
+    except Exception:  # traced scene without flags: keep the full path
         return True
 
 

@@ -225,11 +225,16 @@ def make_lens_system(lens_rows: np.ndarray, aperture_diameter_mm: float,
     ext_x = np.sqrt(film_diag_m**2 / (1 + aspect * aspect))
     ext_y = aspect * ext_x
 
+    # The prescription rides as STATIC tuples of Python floats, not
+    # device arrays: trace_from_film unrolls the element loop with
+    # per-element Python branches (curvature==0 aperture stops), and the
+    # camera pytree travels through jit as an argument
+    # (driver.split_device_args) where array leaves turn into tracers.
     return LensSystem(
-        curvature=jnp.asarray(curv, jnp.float32),
-        thickness=jnp.asarray(thick, jnp.float32),
-        eta=jnp.asarray(eta, jnp.float32),
-        ap_radius=jnp.asarray(ap_r, jnp.float32),
+        curvature=tuple(float(c) for c in curv),
+        thickness=tuple(float(t) for t in thick),
+        eta=tuple(float(e) for e in eta),
+        ap_radius=tuple(float(a) for a in ap_r),
         rear_z=rear_z,
         pupil_bounds=jnp.asarray(bounds, jnp.float32),
         film_diag=float(film_diag_m),

@@ -53,16 +53,31 @@ MAT_KDSUBSURFACE = 12
 MAT_SUBSURFACE = 13
 
 
+class SceneFlags(NamedTuple):
+    """Static (Python-bool) scene summary, fixed at build time.
+
+    The render step receives the scene tables as jit ARGUMENTS
+    (driver.split_device_args) so megascale scenes compile; trace-time
+    code therefore can no longer peek at table CONTENT for static
+    gating decisions.  These flags carry those decisions — non-array
+    pytree leaves stay Python constants under jit, so each gate remains
+    a compile-time branch."""
+    has_hair: bool = True
+    has_textures: bool = True
+    has_image_lights: bool = True
+
+
 def scene_has_hair(scene) -> bool:
-    """Static check (scene tables are concrete at trace time): does any
-    material row use the Marschner hair model (render/hair.py)?  Gates
-    the dpdu tangent gather and the hair lobe evaluation so hairless
-    scenes never trace them."""
+    """Static check: does any material row use the Marschner hair model
+    (render/hair.py)?  Gates the dpdu tangent gather and the hair lobe
+    evaluation so hairless scenes never trace them."""
+    if getattr(scene, "flags", None) is not None:
+        return scene.flags.has_hair
     try:
         import numpy as _np
 
         return bool(_np.any(_np.asarray(scene.mat_type) == MAT_HAIR))
-    except Exception:  # traced scene: keep the hair path
+    except Exception:  # traced scene without flags: keep the hair path
         return True
 
 _MAT_ENUM = {
@@ -203,6 +218,9 @@ class SceneTables(NamedTuple):
     # has no readable .bsdf-file materials).
     fourier: Any = None  # FourierTables
     mat_fourier_id: Any = None  # [M] table index or -1
+    # Static summary flags (SceneFlags): Python bools that survive the
+    # tables becoming jit arguments (driver.split_device_args).
+    flags: Any = None
 
     @property
     def has_media(self):
@@ -1040,6 +1058,12 @@ def build_scene(desc: SceneDescription,
         sph_med_in=np.asarray(sph_med_in, np.int32),
         sph_med_out=np.asarray(sph_med_out, np.int32),
         cam_medium=medium_ref(desc.camera_medium),
+        flags=SceneFlags(
+            has_hair=any(r["mat_type"] == MAT_HAIR for r in mat_rows),
+            has_textures=bool(np.any(np.asarray(mat_kd_tex) >= 0)),
+            has_image_lights=any(
+                l["kind"] in (LIGHT_GONIO, LIGHT_PROJ) for l in lights),
+        ),
     )
 
 

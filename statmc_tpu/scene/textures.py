@@ -70,6 +70,11 @@ class TextureTable(NamedTuple):
     tex_mip_h: Array  # [N,MAX_MIP]
     tex_n_mips: Array  # [N]
     has_children: bool  # static: any scale/mix rows present
+    # Static tuple of the texture kinds present (sorted ints); survives
+    # the table becoming a jit argument (driver.split_device_args) so
+    # kind gating stays a compile-time decision.  None on tables built
+    # by hand (helpers fall back to evaluating every kind).
+    kinds_static: Any = None
 
     @staticmethod
     def empty():
@@ -91,6 +96,7 @@ class TextureTable(NamedTuple):
             tex_mip_h=jnp.ones((1, MAX_MIP), jnp.int32),
             tex_n_mips=jnp.ones((1,), jnp.int32),
             has_children=False,
+            kinds_static=(KIND_CONSTANT,),
         )
 
 
@@ -244,6 +250,7 @@ class TextureTableBuilder:
             has_children=any(
                 r["kind"] in (KIND_SCALE, KIND_MIX) for r in self.rows
             ),
+            kinds_static=tuple(sorted({r["kind"] for r in self.rows})),
         )
 
 
@@ -421,9 +428,11 @@ EWA_MAX_ANISO = 8  # mipmap.h MaxAnisotropy default
 def has_image_textures(table: TextureTable) -> bool:
     """Static check: any image rows?  Gates the per-hit anisotropic
     footprint computation (render/intersect.py want_axes)."""
+    if table.kinds_static is not None:
+        return KIND_IMAGE in table.kinds_static
     try:
         return bool(np.any(np.asarray(table.tex_kind) == KIND_IMAGE))
-    except Exception:  # traced table: keep the path
+    except Exception:  # traced table without kinds_static: keep the path
         return True
 
 
@@ -534,10 +543,13 @@ def _base_value(table: TextureTable, tid, kind, uvs, p, uv_fp=None,
 
     # 3-D noise kinds (evaluated only when present in the table).
     kinds_present = None
-    try:
-        kinds_present = set(np.asarray(table.tex_kind).tolist())
-    except Exception:
-        pass  # traced table: evaluate everything
+    if table.kinds_static is not None:
+        kinds_present = set(table.kinds_static)
+    else:
+        try:
+            kinds_present = set(np.asarray(table.tex_kind).tolist())
+        except Exception:
+            pass  # traced table without kinds_static: evaluate everything
 
     def present(k):
         return kinds_present is None or k in kinds_present
