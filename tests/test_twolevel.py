@@ -1,16 +1,17 @@
 """Two-level worklist traversal correctness (accel/twolevel.py).
 
 The worklist walk must be exactly the dense fused intersection: the
-block-level cull is conservative and the epilogue math is shared, so
+block-level cull is conservative, the compaction keeps every voting
+subtile (or falls back to a dense walk on overflow), and the K16
+one-dot epilogue reproduces the fused epilogue's expression order, so
 (t, id) agree bit-for-bit wherever the dense path finds a hit.
 """
 import numpy as np
 import jax.numpy as jnp
 
 from statmc_tpu.accel.fused import FusedTris, ray_features, _intersect_ref
-from statmc_tpu.accel.twolevel import (
-    TwoLevelTris, _block_worklists, intersect_twolevel,
-)
+from statmc_tpu.accel import twolevel as TL
+from statmc_tpu.accel.twolevel import TwoLevelTris, intersect_twolevel
 
 
 def _random_tris(T, seed=0):
@@ -49,6 +50,21 @@ def test_twolevel_matches_dense_fused():
                                rtol=1e-6)
 
 
+def test_twolevel_nosort_matches_sorted():
+    """sort=False (coherent-batch fast path) must agree exactly with the
+    sorted path: the worklist is conservative either way."""
+    p0, e1, e2 = _random_tris(1800, seed=9)
+    tl = TwoLevelTris.from_tris(p0, e1, e2)
+    o, d = _random_rays(1024, seed=10)
+    t_max = jnp.full((1024,), 1e30)
+    t1, id1, h1 = intersect_twolevel(tl, o, d, t_max, sort=True)
+    t2, id2, h2 = intersect_twolevel(tl, o, d, t_max, sort=False)
+    np.testing.assert_array_equal(np.asarray(id1), np.asarray(id2))
+    m = np.asarray(h1)
+    np.testing.assert_allclose(np.asarray(t1)[m], np.asarray(t2)[m],
+                               rtol=1e-6)
+
+
 def test_twolevel_any_hit_and_dead_lanes():
     p0, e1, e2 = _random_tris(1500, seed=3)
     tl = TwoLevelTris.from_tris(p0, e1, e2)
@@ -62,42 +78,53 @@ def test_twolevel_any_hit_and_dead_lanes():
 
 
 def test_worklists_are_conservative():
-    """Every tile that contains a ray's true hit must be in that ray's
-    block worklist (within count)."""
+    """Every subtile that contains a ray's true hit must be in that
+    ray's block worklist (within n_eff)."""
     p0, e1, e2 = _random_tris(3000, seed=5)
     ft = FusedTris.from_tris(p0, e1, e2)
     tl = TwoLevelTris.from_tris(p0, e1, e2)
-    o, d = _random_rays(512, seed=6)
-    t_max = jnp.full((512,), 1e30)
+    R = TL.RT_WALK
+    o, d = _random_rays(R, seed=6)
+    t_max = jnp.full((R,), 1e30)
     raye, rayp, _ = ray_features(o, d)
     t_ref, id_packed = _intersect_ref(ft, raye, rayp, t_max)
-    order, tnear, count = _block_worklists(tl.tile_bounds, o, d, t_max)
-    order, count = np.asarray(order), np.asarray(count)
+    vote = TL._votes_xla(tl.bounds, o, d, t_max)
+    order, n_eff = TL._compact(vote)
+    order, n_eff = np.asarray(order), np.asarray(n_eff)
+    nst = tl.table.shape[0]
     idp = np.asarray(id_packed[0] if id_packed.ndim > 1 else id_packed)
-    for r in range(512):
+    for r in range(R):
         if idp[r] < 0:
             continue
-        tile = idp[r] // 256
-        g = r // 512
-        assert tile in order[g, : count[g]], (r, tile)
+        s = idp[r] // TL.ST
+        g = r // TL.RT_WALK
+        if n_eff[g] > TL.MAXS:  # dense-fallback block: everything walks
+            continue
+        assert s in order[g, : n_eff[g]], (r, s)
 
 
-def test_worklist_pallas_matches_xla_cull():
-    """The Pallas tile-cull kernel (interpret mode on CPU) produces the
-    same per-block keys (min entry distance of any voting ray, 1e30 for
-    culled tiles) as the XLA slab test it replaces."""
-    import numpy as np
-    import jax.numpy as jnp
-    from statmc_tpu.accel import twolevel as TL
+def test_compact_overflow_falls_back_dense():
+    """A block voting for more than MAXS subtiles must switch to the
+    dense-walk sentinel (n_eff = nst) instead of dropping candidates."""
+    nst = TL.MAXS * 2
+    vote = jnp.ones((1, nst), bool)
+    order, n_eff = TL._compact(vote)
+    assert int(n_eff[0]) == nst
+    np.testing.assert_array_equal(np.asarray(order[0]),
+                                  np.arange(TL.MAXS))
 
+
+def test_cull_pallas_matches_xla():
+    """The Pallas subtile-cull kernel (interpret mode on CPU) votes for
+    exactly the same subtiles as the XLA slab test it replaces."""
     rng = np.random.default_rng(3)
     T = 700
     p0 = rng.random((T, 3)).astype(np.float32) * 10
     e1 = rng.random((T, 3)).astype(np.float32)
     e2 = rng.random((T, 3)).astype(np.float32)
-    tl = TL.TwoLevelTris.from_tris(p0, e1, e2)
+    tl = TwoLevelTris.from_tris(p0, e1, e2)
 
-    R = 2 * TL.RAY_TILE
+    R = 2 * TL.RT_WALK
     o = (rng.random((R, 3)).astype(np.float32) * 12 - 1)
     d = rng.random((R, 3)).astype(np.float32) - 0.5
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
@@ -105,20 +132,15 @@ def test_worklist_pallas_matches_xla_cull():
     t_max[::7] = 0.0  # dead lanes never vote
 
     o_j, d_j, tm_j = jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_max)
-    order, tnear, count = TL._block_worklists(
-        tl.tile_bounds, o_j, d_j, tm_j)
+    vote_x = TL._votes_xla(tl.bounds, o_j, d_j, tm_j)
 
     inv = jnp.where(jnp.abs(d_j) > 1e-12,
                     1.0 / jnp.where(d_j == 0, 1.0, d_j),
                     jnp.where(d_j < 0, -1e12, 1e12))
     rays_t = jnp.concatenate(
         [o_j, inv, tm_j[:, None], jnp.zeros((R, 1))],
-        axis=-1).reshape(-1, TL.RAY_TILE, 8)
-    ntt = tl.tile_bounds.shape[0]
-    key = TL._block_worklists_pallas(tl.bounds_planar, rays_t,
-                                     interpret=True)[:, :ntt]
-    count_k = np.asarray(jnp.sum(key < 1e29, axis=1))
-    np.testing.assert_array_equal(count_k, np.asarray(count))
-    # Sorted keys must match the XLA path's sorted tnear exactly.
-    key_sorted = np.sort(np.asarray(key), axis=1)
-    np.testing.assert_allclose(key_sorted, np.asarray(tnear), rtol=1e-6)
+        axis=-1).reshape(-1, TL.RT_WALK, 8)
+    nst = tl.table.shape[0]
+    vote_p = TL._votes_pallas(tl.bounds_planar, rays_t,
+                              interpret=True)[:, :nst] > 0.5
+    np.testing.assert_array_equal(np.asarray(vote_p), np.asarray(vote_x))
