@@ -54,6 +54,7 @@ for name, nd in [("glass", 6), ("translucent", 6), ("uber", 8)]:
             if (k >> (nd - 1 - d)) & 1:
                 off += 8 ** (nd - 1 - d)
         offs.append(off)
+    n = 8 ** nd
     with open(path, "w") as f:
         f.write(f'''// Zero-filled stand-in for the downloaded {name}albedo.cpp
 #include "{name}albedo.h"
@@ -61,9 +62,9 @@ namespace pbrt {{
 unsigned char {name}AlbedoLUTNDims = {nd};
 unsigned char {name}AlbedoLUTMaxIndices[{nd}] = {{{", ".join(["7"]*nd)}}};
 unsigned int  {name}AlbedoLUTOffsets[{2**nd}] = {{{", ".join(map(str, offs))}}};
-Float {name}AlbedoLUT[{n:d}] = {{0.f}};
+Float {name}AlbedoLUT[{n}] = {{0.f}};
 }}  // namespace pbrt
-'''.replace("{n:d}", str(8 ** nd)))
+''')
 EOF
 
 cd "$BUILD_DIR"

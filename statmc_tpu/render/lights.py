@@ -88,11 +88,16 @@ def sample_li(scene: sb.SceneTables, light_id: Array, ref_p: Array,
         trow = jnp.take(tri_packed, tid, axis=0)
         p0, e1, e2 = trow[..., 0:3], trow[..., 3:6], trow[..., 6:9]
         # Uniform barycentric (triangle.cpp:Sample / sampling.cpp:
-        # UniformSampleTriangle).
+        # UniformSampleTriangle): p = b0*v0 + b1*v1 + (1-b0-b1)*v2.
+        # The vertex association matters for draw-for-draw parity with
+        # the reference (lockstep replay), not just distribution
+        # equality: v0 + b1*e1 + (1-b0-b1)*e2 reproduces pbrt's point
+        # for the same (u1, u2).
         su0 = jnp.sqrt(jnp.maximum(u2[..., 0], 0.0))
         b0 = 1.0 - su0
         b1 = u2[..., 1] * su0
-        p_tri = p0 + b0[..., None] * e1 + b1[..., None] * e2
+        p_tri = (p0 + b1[..., None] * e1
+                 + (1.0 - b0 - b1)[..., None] * e2)
         n_tri = cm.normalize(jnp.cross(e1, e2))
         wi_t = p_tri - ref_p
         d2_t = cm.length_squared(wi_t)

