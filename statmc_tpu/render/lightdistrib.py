@@ -6,15 +6,22 @@ statpath.cpp:982).  Here:
 
 * uniform / power: exact ports of the distribution math (power uses each
   light's total emitted power, lightdistrib.cpp:PowerLightDistribution).
-* spatial: the reference's voxelized scene-adaptive distribution keys a
-  hash table by voxel; our TPU equivalent precomputes a coarse voxel grid
-  of power-times-unoccluded-heuristic weights on host.  Round 1 maps
-  spatial -> power (noise-level difference only, zero bias); the grid
-  variant is tracked in the roadmap.
+* spatial: the reference's voxel importance estimation
+  (SpatialLightDistribution::ComputeDistribution,
+  lightdistrib.cpp:235-295): per voxel, 128 Halton-placed points sample
+  every light through Sample_Li and accumulate luminance(Li)/pdf, with
+  the 0.001*avg minimum-weight floor.  The TPU shape differs in WHERE
+  the voxels are computed: pbrt builds Distribution1Ds lazily in a
+  lock-free hash table as shading points land in voxels (a pointer
+  structure XLA cannot express); here the full [V, L] table is
+  precomputed at build time with the same estimator (batched
+  lights.sample_li over voxel-point lanes) and voxel lookups become a
+  gather.  Per-axis voxel counts follow pbrt's proportional rule with a
+  smaller cap (16 vs 64 per axis) because the table is dense, not lazy.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -63,11 +70,28 @@ def _light_power(scene: sb.SceneTables) -> np.ndarray:
     return power
 
 
-# Spatial grid resolution per axis and the cap on table size: beyond the
-# cap (many thousand emissive triangles) the voxel table would not fit,
-# so spatial falls back to power -- noise-level change only.
-SPATIAL_RES = 8
+# Spatial grid: pbrt sizes the widest axis at maxVoxels=64 and computes
+# voxels LAZILY per shading point (lightdistrib.cpp:95-112).  The dense
+# precomputed table caps the widest axis at 16 instead (up to ~4k
+# voxels x 128 estimation samples x L lights of build-time Sample_Li
+# evaluations); beyond SPATIAL_MAX_LIGHTS the table would not fit and
+# spatial falls back to power -- noise-level change only, zero bias.
+SPATIAL_MAX_VOXELS = 16
+SPATIAL_N_SAMPLES = 128  # per-voxel estimation points (lightdistrib.cpp:255)
 SPATIAL_MAX_LIGHTS = 2048
+
+
+def _radical_inverse(base: int, n: int) -> np.ndarray:
+    """RadicalInverse(base, i) for i in [0, n) (core/lowdiscrepancy.h)."""
+    out = np.zeros(n, np.float64)
+    i = np.arange(n, dtype=np.int64)
+    inv_base = 1.0 / base
+    f = inv_base
+    while i.max(initial=0) > 0:
+        out += (i % base) * f
+        i //= base
+        f *= inv_base
+    return out.astype(np.float32)
 
 
 def _flat(pmf: np.ndarray) -> LightDistribution:
@@ -99,65 +123,88 @@ def make_distribution(scene: sb.SceneTables, strategy: str = "power"
     if strategy != "spatial" or nl > SPATIAL_MAX_LIGHTS:
         return _flat(power_pmf)
 
-    # Spatial (lightdistrib.cpp:SpatialLightDistribution, simplified):
-    # per-voxel importance = estimated unoccluded contribution of each
-    # light at the voxel center (power / distance^2, with the emitter
-    # cosine folded in for area lights; clamped to avoid spikes), blended
-    # with the power pmf for robustness.  The reference's lazy hashed
-    # voxels become a dense precomputed [V, L] table.
-    res = SPATIAL_RES
-    kind = np.asarray(scene.light_kind)
-    L = np.asarray(scene.light_L)
-    area = np.asarray(scene.light_area)
-    pos = np.asarray(scene.light_pos)
-    prim = np.asarray(scene.light_prim)
-    lum = L @ np.array([0.212671, 0.715160, 0.072169], np.float32)
-
-    # Representative position per light.
-    light_p = pos.copy()
-    tri_mask = kind == sb.LIGHT_AREA_TRI
-    if tri_mask.any() and np.asarray(scene.tri_p0).shape[0]:
+    # Spatial (SpatialLightDistribution::ComputeDistribution,
+    # lightdistrib.cpp:235-295): per voxel, SPATIAL_N_SAMPLES points on
+    # a (2,3,5)-base Halton pattern inside the voxel; each samples every
+    # light via Sample_Li with the (7,11)-base Halton pair and
+    # accumulates luminance(Li)/pdf (visibility ignored, exactly as the
+    # reference does); a 0.001*avg minimum-weight floor keeps every
+    # light selectable.  The per-axis voxel counts follow pbrt's
+    # proportional rule (widest axis = SPATIAL_MAX_VOXELS).
+    # Tight per-axis world bounds (pbrt voxelizes scene.WorldBound()).
+    pts = []
+    if np.asarray(scene.tri_p0).shape[0]:
         p0 = np.asarray(scene.tri_p0)
-        e1 = np.asarray(scene.tri_e1)
-        e2 = np.asarray(scene.tri_e2)
-        t = prim[tri_mask]
-        light_p[tri_mask] = p0[t] + (e1[t] + e2[t]) / 3.0
-    sph_mask = kind == sb.LIGHT_AREA_SPH
-    if sph_mask.any() and np.asarray(scene.sph_center).shape[0]:
-        light_p[sph_mask] = np.asarray(scene.sph_center)[prim[sph_mask]]
+        p1 = p0 + np.asarray(scene.tri_e1)
+        p2 = p0 + np.asarray(scene.tri_e2)
+        pts += [p0, p1, p2]
+    if np.asarray(scene.sph_center).shape[0]:
+        c = np.asarray(scene.sph_center)
+        rr = np.asarray(scene.sph_radius)[:, None]
+        pts += [c - rr, c + rr]
+    if not pts:
+        return _flat(power_pmf)
+    allp = np.concatenate(pts, 0)
+    lo = allp.min(0).astype(np.float32)
+    hi = allp.max(0).astype(np.float32)
+    diag = np.maximum(hi - lo, 1e-6)
+    bmax = float(diag.max())
+    nv = np.maximum(
+        1, np.round(diag / bmax * SPATIAL_MAX_VOXELS).astype(int))
+    V = int(nv[0] * nv[1] * nv[2])
 
-    wc = np.asarray(scene.world_center)
-    wr = float(scene.world_radius)
-    lo = wc - wr
-    extent = 2.0 * wr
-    centers = (np.stack(np.meshgrid(
-        *[(np.arange(res) + 0.5) / res] * 3, indexing="ij"
-    ), axis=-1).reshape(-1, 3) * extent + lo)  # [V,3]
+    S = SPATIAL_N_SAMPLES
+    u3 = np.stack([_radical_inverse(2, S), _radical_inverse(3, S),
+                   _radical_inverse(5, S)], -1)  # [S,3] voxel lerp
+    u2 = np.stack([_radical_inverse(7, S), _radical_inverse(11, S)], -1)
 
-    d2 = ((centers[:, None, :] - light_p[None, :, :]) ** 2).sum(-1)  # [V,L]
-    d2 = np.maximum(d2, (0.05 * wr) ** 2)
-    est = lum[None, :] * np.maximum(area, 1e-3)[None, :] / d2
-    # Delta/infinite lights: distance-independent importance where apt.
-    inf_mask = (kind == sb.LIGHT_INFINITE) | (kind == sb.LIGHT_DISTANT)
-    est[:, inf_mask] = (np.pi * wr * wr * lum[inf_mask])[None, :] / (wr * wr)
-    pt_mask = (kind == sb.LIGHT_POINT) | (kind == sb.LIGHT_SPOT)
-    est[:, pt_mask] = lum[pt_mask][None, :] / d2[:, pt_mask]
+    # Voxel lower corners [V,3] in ix-major (ix*ny + iy)*nz + iz order
+    # (matches the lookup in sample_light_id).
+    ix, iy, iz = np.meshgrid(np.arange(nv[0]), np.arange(nv[1]),
+                             np.arange(nv[2]), indexing="ij")
+    corner01 = np.stack([ix, iy, iz], -1).reshape(-1, 3) / nv  # [V,3]
+    po = (corner01[:, None, :] + u3[None, :, :] / nv) * diag + lo  # [V,S,3]
 
-    vsum = est.sum(-1, keepdims=True)
-    est = np.where(vsum > 0, est / np.maximum(vsum, 1e-30), power_pmf[None, :])
-    pmf = (0.8 * est + 0.2 * power_pmf[None, :]).astype(np.float32)
-    pmf /= pmf.sum(-1, keepdims=True)
+    from . import lights as LT
 
+    @jax.jit
+    def chunk_contrib(po_c):
+        """po_c: [Vc, S, 3] -> [Vc, L] summed luminance(Li)/pdf."""
+        Vc = po_c.shape[0]
+        p_flat = jnp.broadcast_to(po_c[:, :, None, :], (Vc, S, nl, 3)
+                                  ).reshape(-1, 3)
+        lid = jnp.broadcast_to(jnp.arange(nl, dtype=jnp.int32)[None, None],
+                               (Vc, S, nl)).reshape(-1)
+        uu = jnp.broadcast_to(jnp.asarray(u2)[None, :, None, :],
+                              (Vc, S, nl, 2)).reshape(-1, 2)
+        ng = jnp.zeros_like(p_flat)  # pbrt passes a zero normal
+        ls = LT.sample_li(scene, lid, p_flat, ng, uu)
+        y = (ls.li @ jnp.asarray([0.212671, 0.715160, 0.072169]))
+        c = jnp.where(ls.pdf > 0, y / jnp.maximum(ls.pdf, 1e-30), 0.0)
+        return jnp.sum(c.reshape(Vc, S, nl), axis=1)
+
+    # Chunk voxels so the flattened lane count stays bounded.
+    CH = max(1, (1 << 20) // max(S * nl, 1))
+    contrib = np.zeros((V, nl), np.float32)
+    po_j = jnp.asarray(po.astype(np.float32))
+    for v0 in range(0, V, CH):
+        v1 = min(v0 + CH, V)
+        contrib[v0:v1] = np.asarray(chunk_contrib(po_j[v0:v1]))
+
+    # Minimum-weight floor (lightdistrib.cpp:283-292).
+    avg = contrib.sum(-1, keepdims=True) / (S * nl)
+    min_c = np.where(avg > 0, 1e-3 * avg, 1.0)
+    contrib = np.maximum(contrib, min_c)
+
+    pmf = contrib / contrib.sum(-1, keepdims=True)
     cdf = np.cumsum(pmf, axis=-1).astype(np.float32)
     cdf[..., -1] = 1.0
     return LightDistribution(
         cdf=jnp.asarray(cdf),
-        pmf=jnp.asarray(pmf),
-        grid_res=res,
-        world_lo=jnp.asarray(lo.astype(np.float32)),
-        world_inv_extent=jnp.asarray(
-            np.full(3, 1.0 / max(extent, 1e-9), np.float32)
-        ),
+        pmf=jnp.asarray(pmf.astype(np.float32)),
+        grid_res=tuple(int(x) for x in nv),
+        world_lo=jnp.asarray(lo),
+        world_inv_extent=jnp.asarray((1.0 / diag).astype(np.float32)),
     )
 
 
@@ -173,12 +220,16 @@ def sample_light_id(dist: LightDistribution, u: Array,
         idx = jnp.searchsorted(cdf, u, side="right")
         idx = jnp.minimum(idx, cdf.shape[0] - 1).astype(jnp.int32)
         return idx, dist.pmf[0][idx]
-    res = dist.grid_res
+    nx, ny, nz = dist.grid_res
+    res = jnp.asarray([nx, ny, nz], jnp.float32)
+    cap = jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32)
+    # Voxel of p (lightdistrib.cpp Lookup: offset in the world bound,
+    # clamped for points just outside from intersection roundoff).
     g = jnp.clip(
         ((p - dist.world_lo) * dist.world_inv_extent * res).astype(jnp.int32),
-        0, res - 1,
+        0, cap,
     )
-    v = (g[..., 0] * res + g[..., 1]) * res + g[..., 2]
+    v = (g[..., 0] * ny + g[..., 1]) * nz + g[..., 2]
     cdf_rows = dist.cdf[v]  # [R, L]
     idx = jax.vmap(
         lambda row, uu: jnp.searchsorted(row, uu, side="right")
