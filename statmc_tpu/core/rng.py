@@ -170,6 +170,11 @@ MODE_LOCKSTEP = 3
 # flow that gates pbrt's sampler calls.  Draw sites in
 # integrator._bounce_step read positionally at the cursor.
 MODE_LOCKSTEP_EXACT = 4
+# True Sobol' sampler (core/sobol.py): generated generator matrices
+# over the flattened (bounce, slot) dimension index with per-site XOR
+# scrambling -- the matrix-based counterpart of sobol.cpp minus the
+# Joe-Kuo data table (see core/sobol.py header for the departure).
+MODE_SOBOL = 5
 
 N_SLOTS = 8  # draw sites per bounce (slots above)
 
@@ -179,7 +184,7 @@ SAMPLER_MODES = {
     "02sequence": MODE_02,
     "zerotwosequence": MODE_02,
     "lowdiscrepancy": MODE_02,
-    "sobol": MODE_02,
+    "sobol": MODE_SOBOL,
     "maxmindist": MODE_02,
     "halton": MODE_HALTON,
     "lockstep": MODE_LOCKSTEP,
@@ -288,6 +293,13 @@ def draw_1d(keys: Array, ld, mode: int, bounce, slot: int) -> Array:
         nn = jnp.broadcast_to(jnp.uint32(n), words[:, 0].shape)
         return (_vdc_bits(nn) ^ words[:, 0]).astype(jnp.float32) \
             * (1.0 / 4294967296.0)
+    if mode == MODE_SOBOL:
+        from . import sobol as sbl
+
+        dim = 2 * (jnp.asarray(bounce, jnp.int32) * N_SLOTS + slot)
+        nn = jnp.broadcast_to(jnp.uint32(n), words[:, 0].shape)
+        return sbl.sobol_1d(jnp.broadcast_to(dim, nn.shape), nn,
+                            words[:, 0])
     # Halton: dimension from the flattened draw site.
     dim = 2 * (bounce * N_SLOTS + slot)
     base = _primes_table()[jnp.minimum(dim, 1099)]
@@ -311,6 +323,15 @@ def draw_2d(keys: Array, ld, mode: int, bounce, slot: int) -> Array:
             * (1.0 / 4294967296.0)
         u1 = (_sobol2_bits(nn) ^ words[:, 1]).astype(jnp.float32) \
             * (1.0 / 4294967296.0)
+        return jnp.stack([u0, u1], axis=-1)
+    if mode == MODE_SOBOL:
+        from . import sobol as sbl
+
+        dim = 2 * (jnp.asarray(bounce, jnp.int32) * N_SLOTS + slot)
+        nn = jnp.broadcast_to(jnp.uint32(n), words[:, 0].shape)
+        dimv = jnp.broadcast_to(dim, nn.shape)
+        u0 = sbl.sobol_1d(dimv, nn, words[:, 0])
+        u1 = sbl.sobol_1d(dimv + 1, nn, words[:, 1])
         return jnp.stack([u0, u1], axis=-1)
     dim = 2 * (bounce * N_SLOTS + slot)
     p = _primes_table()
