@@ -36,9 +36,11 @@ assert jax.device_count() >= 8, (
 
 # ---------------------------------------------------------------------------
 # Fast tier: the default developer loop is `pytest tests/ -m "not slow"`
-# (~2-3 min); the full suite (~10 min) runs in CI / before commits that
-# touch the integrator.  Centralized here instead of per-file decorators
-# so the tier can be retuned from one list (durations from
+# (~10-14 min measured); the full suite is ~40-60 min run in parts (the
+# transport/analytic slow tier dominates -- see CLAUDE.md "Commands" for
+# the recommended split) and runs before commits that touch the
+# integrator.  Centralized here instead of per-file decorators so the
+# tier can be retuned from one list (durations from
 # `pytest --durations=40`).
 # ---------------------------------------------------------------------------
 import pytest  # noqa: E402
