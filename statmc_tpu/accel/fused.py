@@ -351,13 +351,35 @@ def _intersect_ref(ft: "FusedTris", raye, rayp, t_max):
     return best_t[0], best_id[0]
 
 
-def intersect_fused(ft: FusedTris, o, d, t_max, any_hit: bool = False):
+def intersect_fused(ft: FusedTris, o, d, t_max, any_hit: bool = False,
+                    compact: bool | None = None):
     """Closest hit against all triangles.  Returns (t, tri_id, hit); t
     keeps the incoming t_max value on miss (callers compare t < t_max).
 
     any_hit is accepted for interface parity with the traversal paths;
-    the dense form computes every pair either way."""
+    the dense form computes every pair either way.
+
+    compact=True partitions live lanes (t_max > 0) to the front with a
+    stable 2-bucket counting sort before tiling, so the kernel's
+    all-dead ray-tile skip actually fires: the integrator's RR kills
+    lanes scattered through pixel order, and without the partition a
+    512-lane tile is almost never ALL dead even when ~55% of lanes are
+    (the round-4 dead-lane diagnosis, ARCHITECTURE.md roadmap #3).
+    Results are identical (per-lane independent; exact unsort).
+    Default: on for TPU batches of several tiles."""
     R = o.shape[0]
+    if compact is None:
+        compact = (jax.default_backend() == "tpu" and R >= 4 * RAY_TILE)
+    if compact:
+        live = t_max > 0
+        cs = jnp.cumsum(live.astype(jnp.int32))
+        n_live = cs[-1]
+        iot = jnp.arange(R, dtype=jnp.int32)
+        pos = jnp.where(live, cs - 1, n_live + iot - cs)
+        perm = jnp.zeros((R,), jnp.int32).at[pos].set(iot)
+        packed = jnp.concatenate([o, d, t_max[:, None]], axis=-1)[perm]
+        o, d = packed[:, 0:3], packed[:, 3:6]
+        t_max = packed[:, 6]
     raye, rayp, rayb = ray_features(o, d)
     if jax.default_backend() != "tpu":
         t, idx = _intersect_ref(ft, raye, rayp, t_max)
@@ -388,4 +410,13 @@ def intersect_fused(ft: FusedTris, o, d, t_max, any_hit: bool = False):
                         -1)
     else:
         idx = jnp.where(idx >= ft.n_tris, -1, idx)
+    if compact:
+        # Unsort exactly; t rides as bitcast int32 next to idx (int
+        # transport preserves bit patterns; f32 transport canonicalizes
+        # the -1 quiet-NaN pattern on TPU -- see twolevel.py).
+        out = jnp.stack(
+            [jax.lax.bitcast_convert_type(t, jnp.int32), idx], axis=-1
+        )[pos]
+        t = jax.lax.bitcast_convert_type(out[:, 0], jnp.float32)
+        idx = out[:, 1]
     return t, idx, idx >= 0

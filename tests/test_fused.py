@@ -130,3 +130,20 @@ def test_driver_picks_fused_and_renders():
     # (razor-edge Plucker/MT disagreements move individual samples).
     close = np.isclose(img_fused, img_dense, rtol=1e-3, atol=1e-3)
     assert close.mean() > 0.97
+
+
+def test_fused_compact_partition_matches():
+    """Live-first lane compaction (dead-lane recovery) must be an exact
+    no-op on results: partition + unsort round-trips every lane."""
+    rng = np.random.default_rng(17)
+    p0, e1, e2 = _random_tris(400, rng)
+    ft = F.FusedTris.from_tris(p0, e1, e2)
+    o, d = _random_rays(2048, rng)
+    t_max = jnp.where(jnp.arange(2048) % 3 == 0, 0.0,
+                      jnp.full((2048,), 50.0))
+    t1, id1, h1 = F.intersect_fused(ft, o, d, t_max, compact=False)
+    t2, id2, h2 = F.intersect_fused(ft, o, d, t_max, compact=True)
+    np.testing.assert_array_equal(np.asarray(id1), np.asarray(id2))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    assert not np.asarray(h2)[::3].any()  # dead lanes stay dead

@@ -88,10 +88,13 @@ def test_worklists_are_conservative():
     t_max = jnp.full((R,), 1e30)
     raye, rayp, _ = ray_features(o, d)
     t_ref, id_packed = _intersect_ref(ft, raye, rayp, t_max)
-    vote = TL._votes_xla(tl.bounds, o, d, t_max)
+    vote_f = TL._votes_xla(tl.bounds, o, d, t_max)
+    G = vote_f.shape[0]
+    vote = vote_f.reshape(G, tl.n_sub, tl.fsub).any(-1)
     order, n_eff = TL._compact(vote)
     order, n_eff = np.asarray(order), np.asarray(n_eff)
-    nst = tl.table.shape[0]
+    vote_f = np.asarray(vote_f)
+    stf = TL.ST // tl.fsub
     idp = np.asarray(id_packed[0] if id_packed.ndim > 1 else id_packed)
     for r in range(R):
         if idp[r] < 0:
@@ -101,6 +104,8 @@ def test_worklists_are_conservative():
         if n_eff[g] > TL.MAXS:  # dense-fallback block: everything walks
             continue
         assert s in order[g, : n_eff[g]], (r, s)
+        # The fine submask must also keep the true hit's subgroup.
+        assert vote_f[g, idp[r] // stf], (r, idp[r] // stf)
 
 
 def test_compact_overflow_falls_back_dense():
@@ -112,6 +117,19 @@ def test_compact_overflow_falls_back_dense():
     assert int(n_eff[0]) == nst
     np.testing.assert_array_equal(np.asarray(order[0]),
                                   np.arange(TL.MAXS))
+
+
+def test_pack_submask_roundtrip():
+    """Bit-packed fine votes must decode back to the vote row (the walk
+    kernel reads these words bit-by-bit from SMEM)."""
+    rng = np.random.default_rng(11)
+    nf = 203
+    vote = rng.random((5, nf)) < 0.3
+    words = np.asarray(TL._pack_submask(jnp.asarray(vote), 4))
+    for g in range(5):
+        for f in range(nf):
+            bit = (words[g, f // 32] >> (f % 32)) & 1
+            assert bool(bit) == bool(vote[g, f]), (g, f)
 
 
 def test_cull_pallas_matches_xla():
@@ -140,7 +158,9 @@ def test_cull_pallas_matches_xla():
     rays_t = jnp.concatenate(
         [o_j, inv, tm_j[:, None], jnp.zeros((R, 1))],
         axis=-1).reshape(-1, TL.RT_WALK, 8)
-    nst = tl.table.shape[0]
-    vote_p = TL._votes_pallas(tl.bounds_planar, rays_t,
-                              interpret=True)[:, :nst] > 0.5
+    nf = tl.n_sub * tl.fsub
+    live = (jnp.max(tm_j.reshape(-1, TL.RT_WALK), axis=1) > 0
+            ).astype(jnp.int32)
+    vote_p = TL._votes_pallas(tl.bounds_planar, rays_t, live,
+                              interpret=True)[:, :nf] > 0.5
     np.testing.assert_array_equal(np.asarray(vote_p), np.asarray(vote_x))
