@@ -267,6 +267,14 @@ class StatDenoiser:
 
         outs = {"mean_corr": [], "discriminator": [], "film_mean_f": []}
         film_f = None
+        # Reference aliasing (estimator.cpp:143-146, RGB path): with
+        # denoiseFilm on, Radiance b0's film-mean-f buffer IS the
+        # filtered film (film-f) -- the reference filters ONE image and
+        # aliases, so filtering the film planes separately (CF=2C) is
+        # wasted sweep work: film == film-mean for the box filter (both
+        # are the per-pixel sample mean; our refparity fixtures pin
+        # both).  Alias here and halve the filtered-plane count.
+        alias_film = C == 3
         for j in range(NB):
             n_img = state["n"][j, :, 0].reshape(H, W)
             mean = state["mean"][j].reshape(H, W, C)
@@ -275,6 +283,11 @@ class StatDenoiser:
                 H, W, C)
             fm = state.get("film_mean", state["mean"])[j].reshape(H, W, C)
             fi = film if (film is not None and j == 0) else None
+            if fi is not None and alias_film:
+                fi = None
+                want_film_alias = True
+            else:
+                want_film_alias = False
             if halo is not None:
                 res = stat_filter(
                     ex(n_img[..., None])[..., 0], ex(mean), ex(m2),
@@ -306,6 +319,8 @@ class StatDenoiser:
             outs["film_mean_f"].append(res["film_mean_f"].reshape(-1, C))
             if fi is not None:
                 film_f = res["film_f"]
+            elif want_film_alias:
+                film_f = res["film_mean_f"].reshape(H, W, C)
         return {
             "mean_corr": jnp.stack(outs["mean_corr"]),
             "discriminator": jnp.stack(outs["discriminator"]),

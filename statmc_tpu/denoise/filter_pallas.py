@@ -51,16 +51,32 @@ def _filter_kernel(
     mc_hbm, d2_hbm, fm_hbm, gb_hbm, valid_hbm,
     out_ref, wsum_ref,
     *, C, CF, G, TH, WC, WS, radius, ds_factor, gb_factors, normalize,
+    accept_expand, range_bf16,
 ):
     """One grid step: rows [i*TH, i*TH+TH).  HBM inputs are padded to
     [*, Hp + 2r, WS]; compute runs on the [TH, WC] center; outputs are
     [CF, TH, WC] blocks.  C = acceptance-test channels (mc/d2); CF =
-    filtered channels (fm may carry the film image as extra planes)."""
+    filtered channels (fm may carry the film image as extra planes).
+
+    accept_expand: the two-sample test (mc_c-mc_n)^2 <= d2_c+d2_n+eps
+    is evaluated in expanded form  (mc_n^2-d2_n) - 2 mc_c mc_n
+    <= d2_c+eps-mc_c^2  -- one slab precompute (A = mc^2-d2) turns the
+    5-op direct form into FMA+cmp per channel.  Algebraically
+    identical; decisions can flip only within ~1 ulp of the test
+    boundary (same class of transform as the round-4 quadratic
+    range-term expansion).
+    range_bf16: the G-buffer range planes (q/p) and the exp argument
+    ride bf16 -- the range kernel is a similarity heuristic and its
+    ~2^-8 relative weight error is orders below the MC noise being
+    filtered; acceptance, moments, and the filtered payload stay f32.
+    """
     r = radius
     i = pl.program_id(0)
     SH = TH + 2 * r
+    rdt = jnp.bfloat16 if range_bf16 else jnp.float32
 
-    def body(mc_s, d2_s, fm_s, v_s, acc_s, wacc_s, q_s, p_s, sem):
+    def body(mc_s, d2_s, fm_s, v_s, acc_s, wacc_s, q_s, p_s, an_s,
+             p16_s, sem):
         # p_s doubles as the G-buffer DMA landing slab: centers and the
         # Q/A precomputes read it raw, then it is scaled to
         # -2*gf_g*g_g in place for the cross-term MACs.
@@ -92,6 +108,13 @@ def _filter_kernel(
         acc_s[...] = jnp.zeros_like(acc_s)
         wacc_s[...] = jnp.zeros_like(wacc_s)
 
+        if accept_expand:
+            # Slab precompute A = mc^2 - d2; center duals b, -2mc.
+            for c in range(C):
+                an_s[c] = mc_s[c] * mc_s[c] - d2_s[c]
+            b_c = [d2_c[c] + 1e-20 - mc_c[c] * mc_c[c] for c in range(C)]
+            m2_c = [-2.0 * mc_c[c] for c in range(C)]
+
         side = 2 * r + 1
 
         # Quadratic expansion of the G-buffer range term:
@@ -106,14 +129,21 @@ def _filter_kernel(
             for gg in range(G):
                 q = q + gb_factors[gg] * p_s[gg] * p_s[gg]
             q = jnp.where(v_s[...] > 0, q, -jnp.inf)
-            q_s[...] = q
+            q_s[...] = q.astype(rdt)
             a_c = jnp.zeros((TH, WC))
             for gg in range(G):
                 a_c = a_c + gb_factors[gg] * gb_c[gg] * gb_c[gg]
             for gg in range(G):
-                p_s[gg] = p_s[gg] * (-2.0 * gb_factors[gg])
+                scaled = p_s[gg] * (-2.0 * gb_factors[gg])
+                if range_bf16:
+                    p16_s[gg] = scaled.astype(rdt)
+                else:
+                    p_s[gg] = scaled
+            if range_bf16:
+                gb_c16 = [gb_c[g].astype(rdt) for g in range(G)]
         else:
-            q_s[...] = jnp.where(v_s[...] > 0, 0.0, -jnp.inf)
+            q_s[...] = jnp.where(v_s[...] > 0, 0.0, -jnp.inf).astype(rdt)
+        pp_s = p16_s if (range_bf16 and G) else p_s
 
         # Mosaic cannot address dynamic sublane offsets (dim -2 slices
         # must be provably 8-aligned) and dynamic lane slicing is equally
@@ -128,10 +158,13 @@ def _filter_kernel(
                 return pltpu.roll(ref_plane, -dx, 1)
 
             mc_r = [rolled(mc_s[c]) for c in range(C)]
-            d2_r = [rolled(d2_s[c]) for c in range(C)]
+            if accept_expand:
+                an_r = [rolled(an_s[c]) for c in range(C)]
+            else:
+                d2_r = [rolled(d2_s[c]) for c in range(C)]
             fm_r = [rolled(fm_s[c]) for c in range(CF)]
             q_r = rolled(q_s[...])
-            p_r = [rolled(p_s[g]) for g in range(G)]
+            p_r = [rolled(pp_s[g]) for g in range(G)]
             fdx = (dx - r).astype(jnp.float32)
 
             for dy in range(side):
@@ -140,16 +173,29 @@ def _filter_kernel(
                 accept = None
                 for c in range(C):
                     mc_n = mc_r[c][dy : dy + TH, 0:WC]
-                    d2_n = d2_r[c][dy : dy + TH, 0:WC]
-                    diff = mc_c[c] - mc_n
-                    a = diff * diff <= d2_c[c] + d2_n + 1e-20
+                    if accept_expand:
+                        a = (an_r[c][dy : dy + TH, 0:WC]
+                             + m2_c[c] * mc_n) <= b_c[c]
+                    else:
+                        d2_n = d2_r[c][dy : dy + TH, 0:WC]
+                        diff = mc_c[c] - mc_n
+                        a = diff * diff <= d2_c[c] + d2_n + 1e-20
                     accept = a if accept is None else (accept & a)
-                arg = q_r[dy : dy + TH, 0:WC] + sconst
                 if G:
-                    arg = arg + a_c
-                    for g in range(G):
-                        arg = arg + gb_c[g] * p_r[g][dy : dy + TH, 0:WC]
-                w = jnp.exp(arg) * accept.astype(jnp.float32)
+                    if range_bf16:
+                        acs = (a_c + sconst).astype(rdt)
+                        arg = q_r[dy : dy + TH, 0:WC] + acs
+                        for g in range(G):
+                            arg = arg + (gb_c16[g]
+                                         * p_r[g][dy : dy + TH, 0:WC])
+                    else:
+                        arg = q_r[dy : dy + TH, 0:WC] + sconst + a_c
+                        for g in range(G):
+                            arg = arg + gb_c[g] * p_r[g][dy : dy + TH, 0:WC]
+                else:
+                    arg = q_r[dy : dy + TH, 0:WC] + sconst.astype(rdt)
+                w = (jnp.exp(arg).astype(jnp.float32)
+                     * accept.astype(jnp.float32))
                 wacc_s[...] += w
                 for c in range(CF):
                     acc_s[c] += w * fm_r[c][dy : dy + TH, 0:WC]
@@ -174,8 +220,10 @@ def _filter_kernel(
         pltpu.VMEM((SH, WS), jnp.float32),
         pltpu.VMEM((CF, TH, WC), jnp.float32),
         pltpu.VMEM((TH, WC), jnp.float32),
-        pltpu.VMEM((SH, WS), jnp.float32),
+        pltpu.VMEM((SH, WS), rdt),
         pltpu.VMEM((max(G, 1), SH, WS), jnp.float32),
+        pltpu.VMEM((C if accept_expand else 1, SH, WS), jnp.float32),
+        pltpu.VMEM((max(G, 1) if range_bf16 else 1, SH, WS), rdt),
         pltpu.SemaphoreType.DMA((5,)),
     )
 
@@ -188,9 +236,11 @@ def _pad_planar(img_hwc, r, Hp, WS):
 
 
 @partial(jax.jit, static_argnames=(
-    "radius", "ds_factor", "gb_factors", "normalize", "th", "interpret"))
+    "radius", "ds_factor", "gb_factors", "normalize", "th", "interpret",
+    "accept_expand", "range_bf16"))
 def _run_filter(mc, d2, fm, gbufs, valid, radius, ds_factor, gb_factors,
-                normalize=True, th=48, interpret=False):
+                normalize=True, th=48, interpret=False,
+                accept_expand=False, range_bf16=False):
     """mc/d2: [H,W,C]; fm: [H,W,CF] (CF >= C: trailing planes filter
     along, e.g. the film image); gbufs: [H,W,G] flattened G-buffer
     planes; valid: [H,W].  Returns (out [H,W,CF], wsum [H,W])."""
@@ -217,6 +267,7 @@ def _run_filter(mc, d2, fm, gbufs, valid, radius, ds_factor, gb_factors,
         ds_factor=float(ds_factor),
         gb_factors=tuple(float(g) for g in gb_factors),
         normalize=normalize,
+        accept_expand=accept_expand, range_bf16=range_bf16,
     )
     out, wsum = pl.pallas_call(
         kernel,
