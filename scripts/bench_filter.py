@@ -18,12 +18,20 @@ H, W, R = 720, 1280, 20
 DS = -0.5 / (10.0 * 10.0)
 
 
+def force(out):
+    # 4-byte host read forces remote completion without the multi-MB
+    # output transfer (the relay's block_until_ready returns before
+    # remote completion, and np.asarray of the full output is
+    # transfer-dominated: ~30 MB/s through the relay).
+    return float(out[0][0, 0, 0])
+
+
 def timeit(fn, n=5):
-    fn()  # compile + warm
+    force(fn())  # compile + warm
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        force(fn())
         ts.append(time.perf_counter() - t0)
     return min(ts) * 1e3
 
@@ -43,11 +51,9 @@ def main():
         ("C1", 1, 6, 3, ths[0], {}),
         ("G1", 3, 1, 3, ths[0], {}),
         ("CF1", 3, 6, 1, ths[0], {}),
-        ("expand", 3, 6, 3, ths[0], {"accept_expand": True}),
         ("bf16", 3, 6, 3, ths[0], {"range_bf16": True}),
-        ("exp+bf16", 3, 6, 3, ths[0],
-         {"accept_expand": True, "range_bf16": True}),
-    ] + [(f"base_th{t}", 3, 6, 3, t, {}) for t in ths[1:]]:
+    ] + [(f"bf16_th{t}", 3, 6, 3, t, {"range_bf16": True})
+         for t in ths[1:]]:
         mc, d2, fm, gb = mk(C), mk(C), mk(CF), mk(G)
         gf = tuple([-0.5 / 0.01] * G)
 

@@ -183,7 +183,8 @@ class StatDenoiser:
     analogue of Estimator::Denoise (estimator.cpp:427-489)."""
 
     def __init__(self, ecfg, width: int, height: int, alpha: float = 0.005,
-                 moon_ci: bool = False, impl: str = "auto"):
+                 moon_ci: bool = False, impl: str = "auto",
+                 range_bf16: bool = True):
         from ..stats import estimator as E
 
         self.E = E
@@ -199,6 +200,16 @@ class StatDenoiser:
             -0.5 / (ecfg.filter_sd * ecfg.filter_sd), jnp.float32
         )
         self.radius = int(ecfg.filter_radius)
+        # TPU-native default: the Pallas kernel's range term runs the
+        # DIRECT-form bf16 inner loop (sqrt(-gf)-scaled planes, one
+        # bf16 diff + FMA per plane).  NOT the quadratic expansion in
+        # bf16 -- that sums +-|gf| g^2 magnitude terms that cancel to a
+        # small exp argument and shifted a real scene's denoised film
+        # mean ~5% (rejected); the direct form accumulates same-sign
+        # terms so the error stays relative (mean ~1e-4, exact at
+        # production-harsh factors).  range_bf16=False keeps the exact
+        # f32 expanded sweep (the rtol-1e-5 parity path).
+        self.range_bf16 = range_bf16
         self._jit_bounce = {}  # (C, with_film, Gp) -> jitted fn
 
     def _gbuffers(self, states, height=None):
@@ -346,7 +357,7 @@ class StatDenoiser:
                 [fm, film], -1)
             out, _ = _run_filter(
                 mc, disc * disc, fstack, gb_planes, jnp.ones((H, W)),
-                radius, ds, gf_planes,
+                radius, ds, gf_planes, range_bf16=self.range_bf16,
             )
             res = {
                 "mean_corr": mc,

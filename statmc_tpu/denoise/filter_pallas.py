@@ -75,8 +75,7 @@ def _filter_kernel(
     SH = TH + 2 * r
     rdt = jnp.bfloat16 if range_bf16 else jnp.float32
 
-    def body(mc_s, d2_s, fm_s, v_s, acc_s, wacc_s, q_s, p_s, an_s,
-             p16_s, sem):
+    def body(mc_s, d2_s, fm_s, v_s, acc_s, wacc_s, q_s, p_s, an_s, sem):
         # p_s doubles as the G-buffer DMA landing slab: centers and the
         # Q/A precomputes read it raw, then it is scaled to
         # -2*gf_g*g_g in place for the cross-term MACs.
@@ -124,26 +123,39 @@ def _filter_kernel(
         # planes instead of 3G ops, and invalid pixels ride Q = -inf
         # (their weight exponentiates to 0, replacing the v_n multiply).
         # The slab-level precompute amortizes over (2r+1)^2 offsets.
-        if G:
+        if G and range_bf16:
+            # DIRECT-form bf16 range term: planes pre-scale to
+            # s_g = sqrt(-gf_g) g so the inner loop is one bf16
+            # difference + one bf16 FMA per plane (arg -= d*d) -- no
+            # q/a_c planes at all.  Numerically SOUND in bf16, unlike
+            # casting the quadratic-expansion operands: the expansion
+            # sums +-|gf| g^2 magnitude terms that cancel to a small
+            # exp argument (production sd=0.02 -> gf ~ -1250 -> +-O(5)
+            # absolute error on the argument, which shifted a real
+            # scene's denoised film mean ~5%); the direct form
+            # accumulates same-sign terms, so the error stays relative.
+            # Invalid halo pixels ride s_0 = BIG: d*d overflows bf16 to
+            # inf and the lane's weight exponentiates to zero,
+            # replacing the q = -inf channel of the expanded form.
+            for gg in range(G):
+                sc = float(np.sqrt(-gb_factors[gg]))
+                p_s[gg] = jnp.where(v_s[...] > 0, p_s[gg] * sc, 1e19)
+            gb_c16 = [(gb_c[g] * float(np.sqrt(-gb_factors[g])))
+                      .astype(rdt) for g in range(G)]
+            q_s[...] = jnp.zeros((SH, WS))
+        elif G:
             q = jnp.zeros((SH, WS))
             for gg in range(G):
                 q = q + gb_factors[gg] * p_s[gg] * p_s[gg]
             q = jnp.where(v_s[...] > 0, q, -jnp.inf)
-            q_s[...] = q.astype(rdt)
+            q_s[...] = q
             a_c = jnp.zeros((TH, WC))
             for gg in range(G):
                 a_c = a_c + gb_factors[gg] * gb_c[gg] * gb_c[gg]
             for gg in range(G):
-                scaled = p_s[gg] * (-2.0 * gb_factors[gg])
-                if range_bf16:
-                    p16_s[gg] = scaled.astype(rdt)
-                else:
-                    p_s[gg] = scaled
-            if range_bf16:
-                gb_c16 = [gb_c[g].astype(rdt) for g in range(G)]
+                p_s[gg] = p_s[gg] * (-2.0 * gb_factors[gg])
         else:
-            q_s[...] = jnp.where(v_s[...] > 0, 0.0, -jnp.inf).astype(rdt)
-        pp_s = p16_s if (range_bf16 and G) else p_s
+            q_s[...] = jnp.where(v_s[...] > 0, 0.0, -jnp.inf)
 
         # Mosaic cannot address dynamic sublane offsets (dim -2 slices
         # must be provably 8-aligned) and dynamic lane slicing is equally
@@ -163,8 +175,13 @@ def _filter_kernel(
             else:
                 d2_r = [rolled(d2_s[c]) for c in range(C)]
             fm_r = [rolled(fm_s[c]) for c in range(CF)]
-            q_r = rolled(q_s[...])
-            p_r = [rolled(pp_s[g]) for g in range(G)]
+            # bf16 mode: roll in f32 (pltpu.roll on bf16 crashes
+            # Mosaic, probed on v5e), cast ONCE per dx -- the cast
+            # amortizes over the 2r+1 dy offsets while every inner
+            # read and MAC runs at half VREG width.
+            direct16 = bool(G) and range_bf16
+            q_r = None if direct16 else rolled(q_s[...])
+            p_r = [rolled(p_s[g]).astype(rdt) for g in range(G)]
             fdx = (dx - r).astype(jnp.float32)
 
             for dy in range(side):
@@ -181,19 +198,18 @@ def _filter_kernel(
                         diff = mc_c[c] - mc_n
                         a = diff * diff <= d2_c[c] + d2_n + 1e-20
                     accept = a if accept is None else (accept & a)
-                if G:
-                    if range_bf16:
-                        acs = (a_c + sconst).astype(rdt)
-                        arg = q_r[dy : dy + TH, 0:WC] + acs
-                        for g in range(G):
-                            arg = arg + (gb_c16[g]
-                                         * p_r[g][dy : dy + TH, 0:WC])
-                    else:
-                        arg = q_r[dy : dy + TH, 0:WC] + sconst + a_c
-                        for g in range(G):
-                            arg = arg + gb_c[g] * p_r[g][dy : dy + TH, 0:WC]
+                if direct16:
+                    d0 = gb_c16[0] - p_r[0][dy : dy + TH, 0:WC]
+                    arg = sconst.astype(rdt) - d0 * d0
+                    for g in range(1, G):
+                        d = gb_c16[g] - p_r[g][dy : dy + TH, 0:WC]
+                        arg = arg - d * d
+                elif G:
+                    arg = q_r[dy : dy + TH, 0:WC] + sconst + a_c
+                    for g in range(G):
+                        arg = arg + gb_c[g] * p_r[g][dy : dy + TH, 0:WC]
                 else:
-                    arg = q_r[dy : dy + TH, 0:WC] + sconst.astype(rdt)
+                    arg = q_r[dy : dy + TH, 0:WC] + sconst
                 w = (jnp.exp(arg).astype(jnp.float32)
                      * accept.astype(jnp.float32))
                 wacc_s[...] += w
@@ -220,10 +236,9 @@ def _filter_kernel(
         pltpu.VMEM((SH, WS), jnp.float32),
         pltpu.VMEM((CF, TH, WC), jnp.float32),
         pltpu.VMEM((TH, WC), jnp.float32),
-        pltpu.VMEM((SH, WS), rdt),
+        pltpu.VMEM((SH, WS), jnp.float32),
         pltpu.VMEM((max(G, 1), SH, WS), jnp.float32),
         pltpu.VMEM((C if accept_expand else 1, SH, WS), jnp.float32),
-        pltpu.VMEM((max(G, 1) if range_bf16 else 1, SH, WS), rdt),
         pltpu.SemaphoreType.DMA((5,)),
     )
 

@@ -91,3 +91,26 @@ def test_vjp_matches_finite_difference():
         assert abs(float(g[i, j, c]) - fd) < 5e-3 + 0.05 * abs(fd), (
             f"grad mismatch at {(i, j, c)}: {float(g[i, j, c])} vs {fd}"
         )
+
+
+def test_range_bf16_quality():
+    """The bf16 range-term fast path (production default on TPU) must
+    stay within a small perturbation of the exact f32 sweep: mean
+    relative error well under the MC noise the filter removes."""
+    import numpy as np
+    from statmc_tpu.denoise.filter_pallas import _run_filter
+
+    rng = np.random.default_rng(5)
+    H, W, C, G, R = 24, 40, 3, 6, 4
+    mk = lambda c: jnp.asarray(rng.random((H, W, c), np.float32))
+    mc, d2, fm, gb = mk(C), mk(C) * 0.01, mk(C), mk(G)
+    valid = jnp.ones((H, W))
+    gf = tuple([-0.5 / 0.1**2] * G)
+    f32, _ = _run_filter(mc, d2, fm, gb, valid, R, -0.005, gf, th=8,
+                         interpret=True)
+    b16, _ = _run_filter(mc, d2, fm, gb, valid, R, -0.005, gf, th=8,
+                         interpret=True, range_bf16=True)
+    rel = np.abs(np.asarray(b16) - np.asarray(f32)) / (
+        np.abs(np.asarray(f32)) + 1e-6)
+    assert rel.mean() < 2e-3, rel.mean()
+    assert np.isfinite(np.asarray(b16)).all()
