@@ -39,6 +39,16 @@ SLOT_PHASE = 9  # 2D Henyey-Greenstein direction sample
 SLOT_PHASE_NEE = 10  # 2D phase half of EstimateDirect at a medium vertex
 SLOT_TR = 11  # base for tracking-loop draws (fold the iteration index)
 SLOT_LENS = 12  # 2D exit-pupil sample (realistic camera)
+# BSSRDF draw sites (render/sss.py; statpath.cpp:892-926).  Like the
+# media slots these always draw threefry uniforms -- the SSS block
+# never runs under lockstep/LD parity scenes, so the LD dimension map
+# (N_SLOTS) intentionally excludes them.
+SLOT_SSS_AXIS = 13  # 1D axis/channel/chain selector (pbrt reuses u1)
+SLOT_SSS_RADIUS = 14  # 2D profile radius + phi
+SLOT_SSS_LIGHT_SELECT = 15  # 1D light pick at the exit vertex
+SLOT_SSS_LIGHT = 16  # 2D light surface sample at the exit vertex
+SLOT_SSS_NEE_BSDF = 17  # 2D Sw-lobe sample inside EstimateDirect
+SLOT_SSS_SW = 18  # 2D Sw-lobe continuation sample
 
 
 def base_key(base_seed: int) -> Array:

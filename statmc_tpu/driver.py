@@ -200,6 +200,7 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
         null_extra=8 if has_null else 0,
         volumetric=volumetric,
         has_grid_media=volumetric and scene_np.has_grid_media,
+        enable_sss=scene_np.sss is not None,
     )
 
     # pixelbounds crop (debug feature; statpath.cpp:967-980): pixels

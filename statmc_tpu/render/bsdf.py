@@ -80,6 +80,13 @@ class MaterialLanes(NamedTuple):
     # h = -1 + 2*v (hair.cpp:221).  None when the scene has no hair
     # materials -- a static gate that elides the hair model entirely.
     hair_h: Any = None
+    # BSSRDF plumbing (render/sss.py): per-lane SSS table index.  None
+    # when the scene has no subsurface materials; when present,
+    # kdsubsurface/subsurface lanes expose the Kr/Kt FresnelSpecular
+    # dielectric interface (kdsubsurface.cpp:70-74) instead of the
+    # legacy albedo+coat approximation, and the integrator's in-bounce
+    # SSS block consumes transmission events.
+    sss_id: Any = None
 
 
 def gather_materials(scene: sb.SceneTables, mat_id: Array,
@@ -118,6 +125,9 @@ def gather_materials(scene: sb.SceneTables, mat_id: Array,
     if scene.fourier is not None:
         fourier_id = jnp.take(scene.mat_fourier_id, mat_id, axis=0)
         fourier_tab = scene.fourier
+    sss_id = None
+    if scene.sss is not None:
+        sss_id = jnp.take(scene.mat_sss_id, mat_id, axis=0)
     hair_h = None
     if uv is not None and _scene_has_hair(scene):
         # Ribbon v coordinate spans the curve width (scene/tessellate.py
@@ -138,6 +148,7 @@ def gather_materials(scene: sb.SceneTables, mat_id: Array,
         fourier_id=fourier_id,
         fourier_tab=fourier_tab,
         hair_h=hair_h,
+        sss_id=sss_id,
     )
 
 
@@ -169,10 +180,26 @@ def _scene_has_textures(scene: sb.SceneTables) -> bool:
         return True
 
 
+def sss_interface(m: MaterialLanes) -> Array | None:
+    """Lanes whose surface BSDF is the subsurface dielectric interface
+    (FresnelSpecular, kdsubsurface.cpp:70-74 / subsurface.cpp:74-76).
+    None (static) when the scene has no BSSRDF transport.  Rough
+    interfaces keep the smooth lobe pair (scene/build.py note)."""
+    if m.sss_id is None:
+        return None
+    return ((m.mat_type == sb.MAT_KDSUBSURFACE)
+            | (m.mat_type == sb.MAT_SUBSURFACE)) & (m.sss_id >= 0)
+
+
 def is_specular(m: MaterialLanes) -> Array:
-    """Lanes whose material has only delta lobes (mirror, smooth glass)."""
+    """Lanes whose material has only delta lobes (mirror, smooth glass,
+    the subsurface FresnelSpecular interface)."""
     smooth_glass = (m.mat_type == sb.MAT_GLASS) & (m.rough_u < 1e-4)
-    return (m.mat_type == sb.MAT_MIRROR) | smooth_glass
+    out = (m.mat_type == sb.MAT_MIRROR) | smooth_glass
+    sssl = sss_interface(m)
+    if sssl is not None:
+        out = out | sssl
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -634,6 +661,14 @@ def sample(m: MaterialLanes, wo: Array, u2: Array, uc: Array) -> BSDFSample:
     mirror = t == sb.MAT_MIRROR
     glass = (t == sb.MAT_GLASS) & (m.rough_u < 1e-4)
     rough_glass = (t == sb.MAT_GLASS) & (m.rough_u >= 1e-4)
+    # BSSRDF transport: subsurface lanes expose the Kr/Kt
+    # FresnelSpecular interface (kdsubsurface.cpp:70-74) -- identical
+    # lobe algebra to smooth glass; transmission events feed the
+    # integrator's Sample_Sp block (render/sss.py).
+    sssl = sss_interface(m)
+    if sssl is not None:
+        two_lobe = two_lobe & ~sssl
+        glass = glass | sssl
 
     # Rough glass refraction through the sampled microfacet normal.
     ci_wh = cm.dot(wo, wh)

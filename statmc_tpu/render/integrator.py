@@ -70,6 +70,10 @@ class IntegratorConfig(NamedTuple):
     # media-aware bounce scan (render/volume.py, volpath.cpp:54-188)
     has_grid_media: bool = False  # compile the delta/ratio-tracking
     # loops only when a grid medium exists (homogeneous is closed-form)
+    enable_sss: bool = False  # scene has subsurface materials: compile
+    # the in-bounce BSSRDF block (render/sss.py, statpath.cpp:892-926);
+    # off for every other scene -- the probe-chain intersects and the
+    # exit-vertex NEE are entirely elided
 
 
 class SampleOutput(NamedTuple):
@@ -446,6 +450,62 @@ def _bounce_step(scene, bvh, dist, cfg: IntegratorConfig, carry, step,
 
         active = active & found & (bl < cfg.max_depth) & ~dead
 
+        # --- BSSRDF transport (statpath.cpp:892-926) --------------------
+        # A transmission event through a subsurface material's
+        # FresnelSpecular interface relocates the lane to an exit point
+        # pi (Sample_Sp probe chain), multiplies betas[i<=bounce] by
+        # S/pdf, adds one EstimateDirect at pi with the Sw lobe, and
+        # continues along a cosine-sampled Sw direction -- all within
+        # the same bounce, before RR, exactly as the reference orders
+        # it.  Statically elided unless the scene has sss materials.
+        sss_rays = None
+        if cfg.enable_sss and scene.sss is not None:
+            from . import sss as SSS
+
+            assert not exact, \
+                "exact-lockstep replay does not model BSSRDF draw sites"
+            sid = m.sss_id
+            sss_fire = shading & (sid >= 0) & psmp.transmission & ~dead \
+                & active
+            tid = jnp.maximum(sid, 0)
+            u_ax = crng.uniform_1d(keys, dstep, crng.SLOT_SSS_AXIS)
+            u_rad = crng.uniform_2d(keys, dstep, crng.SLOT_SSS_RADIUS)
+            spr = SSS.sample_sp(scene, bvh, scene.sss, sid, hit.p, frame,
+                                hit.mat_id, u_ax, u_rad, sss_fire)
+            sss_ok = sss_fire & spr.ok
+            # betas[i] *= S/pdf for i <= bounces (statpath.cpp:899).
+            bm_s = (jnp.arange(NL)[None, :] <= bl[:, None]) \
+                & sss_ok[:, None]
+            betas = betas * jnp.where(bm_s[..., None],
+                                      spr.s_over_pdf[:, None, :], 1.0)
+            # Direct lighting at the exit vertex (statpath.cpp:903-914).
+            eta_sss = jnp.take(scene.sss.eta, tid)
+            c_sss = jnp.take(scene.sss.c_sw, tid)
+            ld_sss = SSS.estimate_direct_sw(
+                scene, bvh, dist, keys, dstep, spr.p, spr.ns,
+                eta_sss, c_sss, sss_ok)
+            ls = ls + jnp.where(sss_ok[..., None, None],
+                                betas * ld_sss[:, None, :], 0.0)
+            # Sw continuation (statpath.cpp:917-925): wo = +ns at pi,
+            # cosine-sampled wi, weight f*|cos|/pdf = Sw * pi.
+            u_sw = crng.uniform_2d(keys, dstep, crng.SLOT_SSS_SW)
+            exit_frame = B.ShadingFrame.from_normal(spr.ns)
+            wi_sw_l = B.cosine_sample_hemisphere(u_sw)
+            wi_sw = exit_frame.to_world(wi_sw_l)
+            f_over_pdf = SSS.sw_eval(eta_sss, c_sss, wi_sw_l[:, 2]) \
+                * jnp.pi
+            betas = betas * jnp.where(bm_s[..., None],
+                                      f_over_pdf[:, None, None], 1.0)
+            d_new = jnp.where(sss_ok[..., None], wi_sw, d_new)
+            o_new = jnp.where(sss_ok[..., None],
+                              _offset_origin(spr.p, spr.ns, wi_sw), o_new)
+            specular_new = jnp.where(sss_ok, False, specular_new)
+            # Failed Sample_Sp breaks the path (statpath.cpp:898).
+            active = active & ~(sss_fire & ~spr.ok)
+            # Probe chain + shadow + BSDF-MIS closest rays.
+            sss_rays = jnp.where(sss_fire,
+                                 float(SSS.PROBE_STEPS) + 2.0, 0.0)
+
         # --- Russian roulette (statpath.cpp:930-953) --------------------
         rr_here = bl > (cfg.rr_start_bounce - 1)
         avg_idx = jnp.minimum(bl + 1, NL - 1)
@@ -482,6 +542,8 @@ def _bounce_step(scene, bvh, dist, cfg: IntegratorConfig, carry, step,
             + carry["active"].astype(jnp.float32)  # path closest-hit
             + 2.0 * nee.astype(jnp.float32)  # shadow + BSDF-MIS closest
         )
+        if sss_rays is not None:
+            n_rays = n_rays + sss_rays
         path_len = carry["path_len"] + shading.astype(jnp.float32)
         # Advance the per-lane bounce counter; null pass-throughs stay
         # (statpath.cpp:823-827 bounces--).

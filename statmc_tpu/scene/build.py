@@ -65,6 +65,7 @@ class SceneFlags(NamedTuple):
     has_hair: bool = True
     has_textures: bool = True
     has_image_lights: bool = True
+    has_sss: bool = False
 
 
 def scene_has_hair(scene) -> bool:
@@ -218,6 +219,11 @@ class SceneTables(NamedTuple):
     # has no readable .bsdf-file materials).
     fourier: Any = None  # FourierTables
     mat_fourier_id: Any = None  # [M] table index or -1
+    # BSSRDF device tables (render/sss.py SSSTables; None when the
+    # scene has no subsurface materials -- the static gate that elides
+    # the whole Sample_Sp transport from compiled programs).
+    sss: Any = None
+    mat_sss_id: Any = None  # [M] SSS table index or -1
     # Static summary flags (SceneFlags): Python bools that survive the
     # tables becoming jit arguments (driver.split_device_args).
     flags: Any = None
@@ -400,23 +406,43 @@ def _material_row(md: MaterialDesc | None, textures) -> dict:
         row["ks"] = np.array([0.3, 0.3, 0.3], np.float32)
         row["rough_u"] = row["rough_v"] = 0.05
     elif mtype == MAT_KDSUBSURFACE:
-        # kdsubsurface: BSSRDF transport approximated by its diffuse
-        # albedo + dielectric coat (materials/kdsubsurface.cpp params).
+        # kdsubsurface: the surface BSDF is the Kr/Kt dielectric
+        # interface (FresnelSpecular when smooth,
+        # materials/kdsubsurface.cpp:70-74); (sigma_a, sigma_s) derive
+        # from Kd + mfp via SubsurfaceFromDiffuse at table-stack time
+        # (build_scene), feeding the device Sample_Sp transport
+        # (render/sss.py).
         row["kd"] = spectrum("Kd", [0.5, 0.5, 0.5])
-        row["ks"] = spectrum("Kr", [1.0, 1.0, 1.0]) * 0.04
-        row["eta"] = np.full(3, scalar("eta", 1.33), np.float32)
-        rough = scalar("uroughness", scalar("roughness", 0.05))
-        row["rough_u"] = row["rough_v"] = max(rough, 1e-3)
+        row["kr"] = spectrum("Kr", [1.0, 1.0, 1.0])
+        row["kt"] = spectrum("Kt", [1.0, 1.0, 1.0])
+        eta = scalar("eta", 1.33)
+        row["eta"] = np.full(3, eta, np.float32)
+        rough = scalar("uroughness", scalar("vroughness", 0.0))
+        # Rough interfaces keep the smooth FresnelSpecular lobe pair (a
+        # documented simplification: pbrt swaps in microfacet versions,
+        # kdsubsurface.cpp:76-100; roughness 0 is the default and every
+        # bundled scene's setting).
+        row["rough_u"] = row["rough_v"] = rough
+        row["sss"] = dict(
+            kind="kd", kd=row["kd"],
+            mfp=spectrum("mfp", [1.0, 1.0, 1.0]) * scalar("scale", 1.0),
+            g=scalar("g", 0.0), eta=eta)
     elif mtype == MAT_SUBSURFACE:
-        # subsurface: single-scattering albedo sigma_s/(sigma_s+sigma_a)
-        # stands in for the BSSRDF diffusion profile.
-        ss = spectrum("sigma_s", [2.55, 3.21, 3.77])
-        sa = spectrum("sigma_a", [0.0011, 0.0024, 0.014])
+        # subsurface: scaled (sigma_a, sigma_s) drive the beam-diffusion
+        # profile directly (materials/subsurface.cpp:104-108); Kd keeps
+        # the single-scattering albedo as the G-buffer feature value.
+        sc = scalar("scale", 1.0)
+        ss = spectrum("sigma_s", [2.55, 3.21, 3.77]) * sc
+        sa = spectrum("sigma_a", [0.0011, 0.0024, 0.014]) * sc
         row["kd"] = (ss / np.maximum(ss + sa, 1e-6)).astype(np.float32)
-        row["ks"] = 0.04 * np.ones(3, np.float32)
-        row["eta"] = np.full(3, scalar("eta", 1.33), np.float32)
-        rough = scalar("uroughness", scalar("roughness", 0.05))
-        row["rough_u"] = row["rough_v"] = max(rough, 1e-3)
+        row["kr"] = spectrum("Kr", [1.0, 1.0, 1.0])
+        row["kt"] = spectrum("Kt", [1.0, 1.0, 1.0])
+        eta = scalar("eta", 1.33)
+        row["eta"] = np.full(3, eta, np.float32)
+        rough = scalar("uroughness", scalar("vroughness", 0.0))
+        row["rough_u"] = row["rough_v"] = rough
+        row["sss"] = dict(kind="direct", sigma_a=sa, sigma_s=ss,
+                          g=scalar("g", 0.0), eta=eta)
     return row
 
 
@@ -958,6 +984,40 @@ def build_scene(desc: SceneDescription,
         if files:
             fourier_tables = stack_tables(files)
 
+    # BSSRDF tables (render/sss.py): stack one beam-diffusion profile
+    # per subsurface material.  kdsubsurface rows first invert Kd + mfp
+    # into (sigma_a, sigma_s) via SubsurfaceFromDiffuse
+    # (materials/kdsubsurface.cpp:104-107); subsurface rows carry the
+    # scaled coefficients directly (materials/subsurface.cpp:104-108).
+    sss_tables = None
+    mat_sss_id = np.full((len(mat_rows),), -1, np.int32)
+    if any(r.get("sss") for r in mat_rows):
+        from ..render.bssrdf import (compute_beam_diffusion_bssrdf,
+                                     subsurface_from_diffuse)
+        from ..render.sss import build_sss_tables
+
+        prof_cache: dict = {}
+        entries = []
+        for mi_, r in enumerate(mat_rows):
+            e = r.get("sss")
+            if not e:
+                continue
+            gk = (round(float(e["g"]), 6), round(float(e["eta"]), 6))
+            if e["kind"] == "kd":
+                if gk not in prof_cache:
+                    prof_cache[gk] = compute_beam_diffusion_bssrdf(
+                        g=gk[0], eta=gk[1])
+                sa, ss2 = subsurface_from_diffuse(
+                    prof_cache[gk], e["kd"], e["mfp"])
+                entries.append(dict(sigma_a=sa, sigma_s=ss2,
+                                    g=e["g"], eta=e["eta"]))
+            else:
+                entries.append(dict(sigma_a=e["sigma_a"],
+                                    sigma_s=e["sigma_s"],
+                                    g=e["g"], eta=e["eta"]))
+            mat_sss_id[mi_] = len(entries) - 1
+        sss_tables = build_sss_tables(entries)
+
     # with 2 triangles when their models/ trees were not mounted).
     if missing_assets:
         uniq = sorted(set(missing_assets))
@@ -1000,6 +1060,8 @@ def build_scene(desc: SceneDescription,
         sph_flip=np.asarray(sph_flip, np.float32),
         fourier=fourier_tables,
         mat_fourier_id=mat_fourier_id,
+        sss=sss_tables,
+        mat_sss_id=mat_sss_id,
         mat_type=np.asarray([r["mat_type"] for r in mat_rows], np.int32),
         mat_kd=np.stack([r["kd"] for r in mat_rows]).astype(np.float32),
         mat_ks=np.stack([r["ks"] for r in mat_rows]).astype(np.float32),
@@ -1063,6 +1125,7 @@ def build_scene(desc: SceneDescription,
             has_textures=bool(np.any(np.asarray(mat_kd_tex) >= 0)),
             has_image_lights=any(
                 l["kind"] in (LIGHT_GONIO, LIGHT_PROJ) for l in lights),
+            has_sss=sss_tables is not None,
         ),
     )
 
