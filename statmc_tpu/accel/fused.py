@@ -366,10 +366,15 @@ def intersect_fused(ft: FusedTris, o, d, t_max, any_hit: bool = False,
     512-lane tile is almost never ALL dead even when ~55% of lanes are
     (the round-4 dead-lane diagnosis, ARCHITECTURE.md roadmap #3).
     Results are identical (per-lane independent; exact unsort).
-    Default: on for TPU batches of several tiles."""
+    Default: on for TPU batches of several tiles AND scenes of >=16
+    triangle tiles.  Below that the skip has nothing to save (veach-mis
+    is ONE tile) while the [R] cumsum/scatter/gather glue repeats every
+    dispatch -- measured 8.27 -> 6.96 Mrays/s on the full veach bench
+    when unconditionally on (BENCH r5 first run)."""
     R = o.shape[0]
     if compact is None:
-        compact = (jax.default_backend() == "tpu" and R >= 4 * RAY_TILE)
+        compact = (jax.default_backend() == "tpu" and R >= 4 * RAY_TILE
+                   and ft.edge_table.shape[0] >= 16)
     if compact:
         live = t_max > 0
         cs = jnp.cumsum(live.astype(jnp.int32))

@@ -72,7 +72,11 @@ def _filter_kernel(
     """
     r = radius
     i = pl.program_id(0)
-    SH = TH + 2 * r
+    # Slab height rounds up to the 8-row sublane tile: Mosaic rejects
+    # dynamic-offset DMA slices of non-8-multiple height (hit at r=2,
+    # where TH+2r=52; the production r=20 slab is 88 and masked this).
+    # The extra rows are bottom padding the window walk never reads.
+    SH = _round_up(TH + 2 * r, 8)
     rdt = jnp.bfloat16 if range_bf16 else jnp.float32
 
     def body(mc_s, d2_s, fm_s, v_s, acc_s, wacc_s, q_s, p_s, an_s, sem):
@@ -243,11 +247,14 @@ def _filter_kernel(
     )
 
 
-def _pad_planar(img_hwc, r, Hp, WS):
-    """[H,W,C] -> [C, Hp+2r, WS] zero-padded planar (halo rows/cols)."""
+def _pad_planar(img_hwc, r, Hp, WS, extra=0):
+    """[H,W,C] -> [C, Hp+2r+extra, WS] zero-padded planar (halo
+    rows/cols; `extra` bottom rows let the kernel's 8-aligned slab
+    height over-read past the last halo row)."""
     H, W = img_hwc.shape[:2]
     pl_img = jnp.moveaxis(img_hwc, -1, 0)
-    return jnp.pad(pl_img, ((0, 0), (r, (Hp - H) + r), (r, (WS - W) - r)))
+    return jnp.pad(pl_img,
+                   ((0, 0), (r, (Hp - H) + r + extra), (r, (WS - W) - r)))
 
 
 @partial(jax.jit, static_argnames=(
@@ -268,12 +275,15 @@ def _run_filter(mc, d2, fm, gbufs, valid, radius, ds_factor, gb_factors,
     WC = _round_up(W, 128)  # compute width (center)
     WS = _round_up(WC + 2 * r, 128)  # slab width incl. halo
 
-    mc_p = _pad_planar(mc, r, Hp, WS)
-    d2_p = _pad_planar(d2, r, Hp, WS)
-    fm_p = _pad_planar(fm, r, Hp, WS)
-    v_p = jnp.pad(valid, ((r, (Hp - H) + r), (r, (WS - W) - r)))
-    gb_p = (_pad_planar(gbufs, r, Hp, WS) if G
-            else jnp.zeros((1, Hp + 2 * r, WS)))
+    # Kernel slab height is 8-aligned; the sources carry matching
+    # bottom padding so the last slab's DMA stays in bounds.
+    extra = _round_up(TH + 2 * r, 8) - (TH + 2 * r)
+    mc_p = _pad_planar(mc, r, Hp, WS, extra)
+    d2_p = _pad_planar(d2, r, Hp, WS, extra)
+    fm_p = _pad_planar(fm, r, Hp, WS, extra)
+    v_p = jnp.pad(valid, ((r, (Hp - H) + r + extra), (r, (WS - W) - r)))
+    gb_p = (_pad_planar(gbufs, r, Hp, WS, extra) if G
+            else jnp.zeros((1, Hp + 2 * r + extra, WS)))
 
     grid = (Hp // TH,)
     kernel = functools.partial(
