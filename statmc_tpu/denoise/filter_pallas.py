@@ -51,7 +51,7 @@ def _filter_kernel(
     mc_hbm, d2_hbm, fm_hbm, gb_hbm, valid_hbm,
     out_ref, wsum_ref,
     *, C, CF, G, TH, WC, WS, radius, ds_factor, gb_factors, normalize,
-    accept_expand, range_bf16,
+    accept_expand, range_bf16, accept_bf16,
 ):
     """One grid step: rows [i*TH, i*TH+TH).  HBM inputs are padded to
     [*, Hp + 2r, WS]; compute runs on the [TH, WC] center; outputs are
@@ -69,6 +69,12 @@ def _filter_kernel(
     ride bf16 -- the range kernel is a similarity heuristic and its
     ~2^-8 relative weight error is orders below the MC noise being
     filtered; acceptance, moments, and the filtered payload stay f32.
+    accept_bf16: the two-sample test also runs in bf16 (direct form:
+    one bf16 diff + FMA + cmp per channel).  The test is a binary gate
+    on noisy MC moments; a ~0.4%% relative threshold shift flips only
+    boundary pairs whose weight contribution is equivocal anyway.
+    Quality gated on a real scene before any default flip (like
+    range_bf16 was).
     """
     r = radius
     i = pl.program_id(0)
@@ -107,11 +113,15 @@ def _filter_kernel(
         mc_c = [mc_s[c, r : r + TH, r : r + WC] for c in range(C)]
         d2_c = [d2_s[c, r : r + TH, r : r + WC] for c in range(C)]
         gb_c = [p_s[g, r : r + TH, r : r + WC] for g in range(G)]
+        if accept_bf16:
+            adt = jnp.bfloat16
+            mc_c16 = [x.astype(adt) for x in mc_c]
+            thr_c16 = [(d2_c[c] + 1e-20).astype(adt) for c in range(C)]
 
         acc_s[...] = jnp.zeros_like(acc_s)
         wacc_s[...] = jnp.zeros_like(wacc_s)
 
-        if accept_expand:
+        if accept_expand and not accept_bf16:
             # Slab precompute A = mc^2 - d2; center duals b, -2mc.
             for c in range(C):
                 an_s[c] = mc_s[c] * mc_s[c] - d2_s[c]
@@ -173,8 +183,14 @@ def _filter_kernel(
             def rolled(ref_plane):
                 return pltpu.roll(ref_plane, -dx, 1)
 
+            # bf16 acceptance: roll f32 (Mosaic bf16-roll crash), cast
+            # once per dx, amortized over the dy column.
             mc_r = [rolled(mc_s[c]) for c in range(C)]
-            if accept_expand:
+            if accept_bf16:
+                mc_r = [x.astype(jnp.bfloat16) for x in mc_r]
+                d2_r = [rolled(d2_s[c]).astype(jnp.bfloat16)
+                        for c in range(C)]
+            elif accept_expand:
                 an_r = [rolled(an_s[c]) for c in range(C)]
             else:
                 d2_r = [rolled(d2_s[c]) for c in range(C)]
@@ -194,7 +210,11 @@ def _filter_kernel(
                 accept = None
                 for c in range(C):
                     mc_n = mc_r[c][dy : dy + TH, 0:WC]
-                    if accept_expand:
+                    if accept_bf16:
+                        d2_n = d2_r[c][dy : dy + TH, 0:WC]
+                        diff = mc_c16[c] - mc_n
+                        a = diff * diff <= thr_c16[c] + d2_n
+                    elif accept_expand:
                         a = (an_r[c][dy : dy + TH, 0:WC]
                              + m2_c[c] * mc_n) <= b_c[c]
                     else:
@@ -259,10 +279,11 @@ def _pad_planar(img_hwc, r, Hp, WS, extra=0):
 
 @partial(jax.jit, static_argnames=(
     "radius", "ds_factor", "gb_factors", "normalize", "th", "interpret",
-    "accept_expand", "range_bf16"))
+    "accept_expand", "range_bf16", "accept_bf16"))
 def _run_filter(mc, d2, fm, gbufs, valid, radius, ds_factor, gb_factors,
                 normalize=True, th=48, interpret=False,
-                accept_expand=False, range_bf16=False):
+                accept_expand=False, range_bf16=False,
+                accept_bf16=False):
     """mc/d2: [H,W,C]; fm: [H,W,CF] (CF >= C: trailing planes filter
     along, e.g. the film image); gbufs: [H,W,G] flattened G-buffer
     planes; valid: [H,W].  Returns (out [H,W,CF], wsum [H,W])."""
@@ -293,6 +314,7 @@ def _run_filter(mc, d2, fm, gbufs, valid, radius, ds_factor, gb_factors,
         gb_factors=tuple(float(g) for g in gb_factors),
         normalize=normalize,
         accept_expand=accept_expand, range_bf16=range_bf16,
+        accept_bf16=accept_bf16,
     )
     out, wsum = pl.pallas_call(
         kernel,

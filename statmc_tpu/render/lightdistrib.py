@@ -167,6 +167,13 @@ def make_distribution(scene: sb.SceneTables, strategy: str = "power"
 
     from . import lights as LT
 
+    # Host-numpy scene tables must lift to device arrays before the jit
+    # closure: jnp ops coerce numpy operands, but sample_li's gonio/
+    # projection block fancy-indexes light_w2l with a traced light id,
+    # and numpy.__getitem__ on a tracer raises (hit by any image-light
+    # scene under the spatial distribution).
+    scene = scene.to_device() if hasattr(scene, "to_device") else scene
+
     @jax.jit
     def chunk_contrib(po_c):
         """po_c: [Vc, S, 3] -> [Vc, L] summed luminance(Li)/pdf."""
