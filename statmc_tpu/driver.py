@@ -222,7 +222,16 @@ def prepare(desc: SceneDescription, base_seed: int = 0,
     n_tris = scene_np.tri_p0.shape[0]
     use_bvh = not force_dense and n_tris > 0
     bvh = None
-    if use_bvh:
+    if use_bvh and getattr(desc, "accelerator_name", "bvh") == "kdtree":
+        # Explicit `Accelerator "kdtree"` directive (api.cpp dispatch;
+        # accelerators/kdtreeaccel.cpp) -- parity component; BVH-family
+        # intersectors remain the default/perf path.
+        from .accel.kdtree import KdTreeTris
+
+        bvh = KdTreeTris.from_tris(
+            scene_np.tri_p0, scene_np.tri_e1, scene_np.tri_e2
+        )
+    elif use_bvh:
         from .accel.fused import FUSED_MAX_TRIS, FusedTris
 
         if n_tris <= FUSED_MAX_TRIS:

@@ -419,6 +419,10 @@ def _bvh_intersect(bvh, scene, o, d, t_max, any_hit=False):
         from ..accel.twolevel import intersect_twolevel
 
         return intersect_twolevel(bvh, o, d, t_max, any_hit=any_hit)
+    if type(bvh).__name__ == "KdTreeTris":
+        from ..accel.kdtree import intersect_kdtree
+
+        return intersect_kdtree(bvh, o, d, t_max, any_hit=any_hit)
     if hasattr(bvh, "edge_table"):
         from ..accel.fused import intersect_fused
 
