@@ -37,6 +37,8 @@ def timeit(fn, n=5):
 
 
 def main():
+    import os
+
     ths = [int(a) for a in sys.argv[1:]] or [48]
     rng = np.random.default_rng(0)
 
@@ -45,14 +47,23 @@ def main():
 
     valid = jnp.ones((H, W))
     results = {}
-    for name, C, G, CF, th, kw in [
+    base_variants = [
         ("base6", 3, 6, 6, ths[0], {}),
         ("base", 3, 6, 3, ths[0], {}),
         ("C1", 1, 6, 3, ths[0], {}),
         ("G1", 3, 1, 3, ths[0], {}),
         ("CF1", 3, 6, 1, ths[0], {}),
         ("bf16", 3, 6, 3, ths[0], {"range_bf16": True}),
-    ] + [(f"bf16_th{t}", 3, 6, 3, t, {"range_bf16": True})
+        ("bf16_acc", 3, 6, 3, ths[0],
+         {"range_bf16": True, "accept_bf16": True}),
+    ]
+    if os.environ.get("BF_ONLY"):  # skip the channel-split variants
+        base_variants = []
+    for name, C, G, CF, th, kw in base_variants \
+      + [(f"bf16_th{t}", 3, 6, 3, t, {"range_bf16": True})
+         for t in ths[1:]] \
+      + [(f"bf16_acc_th{t}", 3, 6, 3, t,
+          {"range_bf16": True, "accept_bf16": True})
          for t in ths[1:]]:
         mc, d2, fm, gb = mk(C), mk(C), mk(CF), mk(G)
         gf = tuple([-0.5 / 0.01] * G)
